@@ -1,0 +1,206 @@
+"""Per-conversation grid/fill/smooth/rollup/pack core, shared by the
+single-node oracle (pandas loop) and the Spark grouped pandas UDFs.
+
+All inputs are OBSERVED 1-minute slot metrics as exact int64 arrays (turn
+counts, per-role token sums, assistant-text length sums) — integers
+aggregate order-independently, so Spark's built-in partial aggregation
+produces bit-identical inputs to the oracle's bincounts. Every float in
+the engine is then derived here, in one canonical order, on (1, T)
+matrices (no BLAS batching variance).
+
+Semantics mirrored from the reference (citations in sits_spark.kernels and
+sits_spark.oracle docstrings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import codec, kernels
+
+SG_ORDER, SG_LENGTH = 3, 5
+WHIT_LAMBDA = 0.5
+TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+
+GRID_COLS = [
+    "slot_start_s",
+    "present",
+    "n_turns",
+    "tokens_user",
+    "tokens_assistant",
+    "tokens_tool",
+    "tool_calls",
+    "alen",
+    "fill_flag",
+    "alen_filled",
+    "alen_sg",
+    "alen_whit",
+]
+
+ROLLUP_COLS = [
+    "window_start_s",
+    "n_slots",
+    "n_turns",
+    "tokens_user",
+    "tokens_assistant",
+    "tokens_tool",
+    "tool_calls",
+    "turn_rate",
+    "tool_call_rate",
+    "alen_mean",
+    "alen_min",
+    "alen_max",
+    "alen_median",
+    "alen_std",
+]
+
+PACK_COLS = ["window_start_s", "n", "first_ts", "first_val", "ts_d2", "vals_gorilla"]
+
+
+def observed_to_grid(
+    slot_s: np.ndarray,
+    n_turns: np.ndarray,
+    tokens_user: np.ndarray,
+    tokens_assistant: np.ndarray,
+    tokens_tool: np.ndarray,
+    tool_calls: np.ndarray,
+    alen_sum: np.ndarray,
+    alen_n: np.ndarray,
+) -> dict[str, np.ndarray]:
+    """Expand observed (sparse) 1-minute slots of ONE conv into the full
+    regular grid with gap slots materialized, gap-fill the assistant-length
+    band, and smooth it.
+
+    ``slot_s`` must be sorted ascending (canonical order); all arrays are
+    int64 and positionally aligned.
+    """
+    lo, hi = int(slot_s[0]), int(slot_s[-1])
+    grid = np.arange(lo, hi + 60, 60, dtype=np.int64)
+    t = len(grid)
+    pos = (slot_s - lo) // 60
+
+    def scatter(vals: np.ndarray) -> np.ndarray:
+        out = np.zeros(t, dtype=np.int64)
+        out[pos] = vals
+        return out
+
+    g_turns = scatter(n_turns)
+    g_alen_sum = scatter(alen_sum)
+    g_alen_n = scatter(alen_n)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        alen = np.where(
+            g_alen_n > 0, g_alen_sum.astype(np.float64) / g_alen_n, np.nan
+        )
+
+    filled = kernels.linear_interp_mtx(alen.reshape(1, -1))[0]
+
+    obs = ~np.isnan(alen)
+    flag = np.full(t, "linear", dtype=object)
+    flag[obs] = "obs"
+    if obs.any():
+        first, last = int(np.argmax(obs)), t - 1 - int(np.argmax(obs[::-1]))
+        flag[:first] = "locf_lead"
+        flag[last + 1 :] = "locf_trail"
+    else:
+        flag[:] = "empty"
+
+    if np.isnan(filled).all():
+        sg = filled.copy()
+        whit = filled.copy()
+    else:
+        sg = kernels.smooth_sg_mtx(
+            filled.reshape(1, -1), order=SG_ORDER, length=SG_LENGTH
+        )[0]
+        whit = kernels.smooth_whit_mtx(filled.reshape(1, -1), WHIT_LAMBDA)[0]
+
+    return {
+        "slot_start_s": grid,
+        "present": g_turns > 0,
+        "n_turns": g_turns,
+        "tokens_user": scatter(tokens_user),
+        "tokens_assistant": scatter(tokens_assistant),
+        "tokens_tool": scatter(tokens_tool),
+        "tool_calls": scatter(tool_calls),
+        "alen": alen,
+        "fill_flag": flag,
+        "alen_filled": filled,
+        "alen_sg": sg,
+        "alen_whit": whit,
+    }
+
+
+def rollup_conv(grid: dict[str, np.ndarray], tier_seconds: int) -> dict[str, np.ndarray]:
+    """Aggregate ONE conv's full 1m grid into tier windows (canonical slot
+    order within each window). Integer metrics are exact sums; float stats
+    come from the temporal-reduce kernels
+    (/root/reference/src/reduce_fns.cpp:12-92 subset)."""
+    slots = grid["slot_start_s"]
+    win = (slots // tier_seconds) * tier_seconds
+    # contiguous windows: slots are a regular ascending grid
+    w_starts, w_first = np.unique(win, return_index=True)
+    bounds = np.append(w_first, len(slots))
+    nw = len(w_starts)
+
+    def segsum(vals: np.ndarray) -> np.ndarray:
+        return np.add.reduceat(vals, w_first)
+
+    n_slots = np.diff(bounds).astype(np.int64)
+    n_turns = segsum(grid["n_turns"])
+    tool_calls = segsum(grid["tool_calls"])
+    out = {
+        "window_start_s": w_starts,
+        "n_slots": n_slots,
+        "n_turns": n_turns,
+        "tokens_user": segsum(grid["tokens_user"]),
+        "tokens_assistant": segsum(grid["tokens_assistant"]),
+        "tokens_tool": segsum(grid["tokens_tool"]),
+        "tool_calls": tool_calls,
+        "turn_rate": n_turns.astype(np.float64) / n_slots,
+        "tool_call_rate": tool_calls.astype(np.float64) / n_slots,
+    }
+    mean = np.empty(nw)
+    mn = np.empty(nw)
+    mx = np.empty(nw)
+    med = np.empty(nw)
+    std = np.empty(nw)
+    vals = grid["alen_whit"]
+    for i in range(nw):
+        seg = vals[bounds[i] : bounds[i + 1]].reshape(1, -1)
+        if np.isnan(seg).any():
+            mean[i] = mn[i] = mx[i] = med[i] = std[i] = np.nan
+            continue
+        mean[i] = kernels.temp_mean(seg)[0]
+        mn[i] = kernels.temp_min(seg)[0]
+        mx[i] = kernels.temp_max(seg)[0]
+        med[i] = kernels.temp_median(seg)[0]
+        std[i] = kernels.temp_std(seg)[0] if seg.shape[1] > 1 else np.nan
+    out.update(
+        {"alen_mean": mean, "alen_min": mn, "alen_max": mx, "alen_median": med, "alen_std": std}
+    )
+    return out
+
+
+def pack_conv(grid: dict[str, np.ndarray], tier_seconds: int = 3600) -> list[tuple]:
+    """Gorilla-pack ONE conv's smoothed 1m band per tier window. Returns
+    rows (window_start_s, n, first_ts, first_val, ts_d2, vals_gorilla)."""
+    slots = grid["slot_start_s"]
+    win = (slots // tier_seconds) * tier_seconds
+    w_starts, w_first = np.unique(win, return_index=True)
+    bounds = np.append(w_first, len(slots))
+    vals = grid["alen_whit"].astype(np.float64)
+    rows = []
+    for i, w in enumerate(w_starts):
+        lo, hi = bounds[i], bounds[i + 1]
+        ts = slots[lo:hi]
+        vv = vals[lo:hi]
+        rows.append(
+            (
+                int(w),
+                int(hi - lo),
+                int(ts[0]),
+                float(vv[0]),
+                codec.encode_ts_d2(ts),
+                codec.encode_xor(vv),
+            )
+        )
+    return rows
