@@ -74,7 +74,10 @@ def _grid_frame(conv_id: str, grid: dict[str, np.ndarray]) -> pd.DataFrame:
     df["slot_start"] = (
         df.pop("slot_start_s").to_numpy().astype("datetime64[s]").astype("datetime64[us]")
     )
-    return df
+    cols = ["conv_id", "slot_start"] + [
+        c for c in engine_core.GRID_COLS if c != "slot_start_s"
+    ]
+    return df[cols]
 
 
 def tier_1m(transcripts: pd.DataFrame) -> pd.DataFrame:

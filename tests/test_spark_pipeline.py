@@ -1,0 +1,163 @@
+"""Distributed-vs-oracle byte-match: the correctness gate (BASELINE.md).
+
+The Spark pipeline must reproduce the single-node oracle bit-for-bit at
+every tier, per-turn text must round-trip byte-exactly under stable
+(conv_id, turn_idx) order, the salted Catalyst aggregation path must equal
+the UDF path, and a killed-after-tier run must resume from manifests to a
+byte-identical result."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from sits_spark import fixtures, oracle
+from sits_spark import manifest as mf
+from sits_spark.operators import regularize, rollup
+from sits_spark.pipeline import RollupPipeline
+
+N_CONVS = 120
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def raw_pdf():
+    return fixtures.gen_transcripts(N_CONVS, seed=SEED, hot_turns=1500)
+
+
+@pytest.fixture(scope="module")
+def golden(raw_pdf):
+    return oracle.full_pipeline(raw_pdf)
+
+
+@pytest.fixture(scope="module")
+def input_path(spark, raw_pdf, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("input") / "transcripts")
+    spark.createDataFrame(raw_pdf).write.parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, input_path, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh") / "tiers")
+    pipe = RollupPipeline(spark, wh)
+    pipe.run(input_path, run_id="run-1")
+    return wh
+
+
+def assert_frames_bitexact(got: pd.DataFrame, want: pd.DataFrame, keys: list[str]):
+    got = got.sort_values(keys).reset_index(drop=True)
+    want = want.sort_values(keys).reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in want.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype == np.float64:
+            # bitwise equality, NaN == NaN
+            assert np.array_equal(a.view(np.uint64), b.view(np.uint64)), c
+        else:
+            assert np.array_equal(a, b), c
+
+
+def _spark_tier(spark, warehouse, tier):
+    df = spark.read.parquet(os.path.join(warehouse, tier)).drop("bucket", "day")
+    return df
+
+
+def test_text_roundtrip_byte_exact(spark, input_path, raw_pdf):
+    back = (
+        spark.read.parquet(input_path)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = raw_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert back["text"].tolist() == want["text"].tolist()
+    assert back["conv_id"].tolist() == want["conv_id"].tolist()
+    assert back["turn_idx"].tolist() == want["turn_idx"].tolist()
+
+
+def test_tier_1m_bitexact(spark, warehouse, golden):
+    got = _spark_tier(spark, warehouse, "tier_1m").toPandas()
+    assert_frames_bitexact(got, golden["tier_1m"], ["conv_id", "slot_start"])
+
+
+def test_agg_tiers_bitexact(spark, warehouse, golden):
+    for tier in ("1h", "1d"):
+        got = (
+            _spark_tier(spark, warehouse, "agg")
+            .where(F.col("tier") == tier)
+            .drop("tier")
+            .toPandas()
+        )
+        assert_frames_bitexact(got, golden[f"agg_{tier}"], ["conv_id", "window_start"])
+
+
+def test_packed_bitexact(spark, warehouse, golden):
+    got = _spark_tier(spark, warehouse, "packed_1h").toPandas()
+    got["ts_d2"] = got["ts_d2"].apply(bytes)
+    got["vals_gorilla"] = got["vals_gorilla"].apply(bytes)
+    assert_frames_bitexact(got, golden["packed_1h"], ["conv_id", "window_start"])
+
+
+def test_salted_catalyst_sums_equal_udf_path(spark, warehouse):
+    t1m = _spark_tier(spark, warehouse, "tier_1m")
+    for tier in ("1h", "1d"):
+        catalyst = rollup.rollup_sums_catalyst(t1m, tier, salt_buckets=8).toPandas()
+        udf = (
+            _spark_tier(spark, warehouse, "agg")
+            .where(F.col("tier") == tier)
+            .select(catalyst.columns.tolist())
+            .toPandas()
+        )
+        assert_frames_bitexact(
+            catalyst, udf, ["conv_id", "window_start"]
+        )
+
+
+def test_resume_after_kill_is_byte_identical(
+    spark, input_path, golden, tmp_path_factory, monkeypatch
+):
+    wh = str(tmp_path_factory.mktemp("wh2") / "tiers")
+    pipe = RollupPipeline(spark, wh)
+
+    # kill the job after the 1m tier commits (FIXTURES.md §3.9)
+    real = rollup.rollup_tiers
+
+    def boom(*a, **k):
+        raise RuntimeError("injected kill after tier_1m")
+
+    monkeypatch.setattr(rollup, "rollup_tiers", boom)
+    with pytest.raises(RuntimeError, match="injected kill"):
+        pipe.run(input_path, run_id="run-1")
+    monkeypatch.setattr(rollup, "rollup_tiers", real)
+
+    # resume: tier_1m buckets must be skipped (manifest rows keep run-1)
+    pipe2 = RollupPipeline(spark, wh)
+    pipe2.run(input_path, run_id="run-2")
+    man = spark.read.schema(mf.MANIFEST_SCHEMA).parquet(os.path.join(wh, "_manifest")).toPandas()
+    assert set(man[man.tier == "tier_1m"]["run_id"]) == {"run-1"}
+    assert set(man[man.tier == "agg"]["run_id"]) == {"run-2"}
+
+    got = _spark_tier(spark, wh, "agg").where(F.col("tier") == "1h").drop("tier").toPandas()
+    assert_frames_bitexact(got, golden["agg_1h"], ["conv_id", "window_start"])
+
+    # idempotent re-run: nothing recomputed
+    pipe2.run(input_path, run_id="run-3")
+    man2 = spark.read.schema(mf.MANIFEST_SCHEMA).parquet(os.path.join(wh, "_manifest")).toPandas()
+    assert "run-3" not in set(man2["run_id"])
+
+
+def test_observed_slots_plan_is_partial_agg(spark, input_path):
+    # the slot aggregation must show map-side partial aggregation
+    # (HashAggregate before the exchange) and a pruned scan schema
+    plan = regularize.observed_slots(
+        spark.read.parquet(input_path)
+    )._sc is None if False else regularize.observed_slots(
+        spark.read.parquet(input_path)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "turn_idx" not in plan.split("ReadSchema")[-1]  # column pruned
