@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship grouped time-series reduction on sf0.001;
+``queries``/``oracle_sql`` expose every implemented operator from
+SURVEY.md §2 (registry in sits_spark.queries, one DuckDB oracle per
+SQL-expressible query) plus the transcript rollup engine itself
+(sits_spark.transcript_queries — grouped pandas-UDF kernels, rows-only
+checks; byte-matched against the single-node oracle in pytest instead).
 """
 
 from __future__ import annotations
@@ -13,26 +14,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sits_spark.queries import REGISTRY, ts_reduce_stats
+from sits_spark.transcript_queries import TRANSCRIPT_QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full temporal-reduce
+    statistics per series key (sits_reduce kernel family,
+    /root/reference/src/reduce_fns.cpp:12-92)."""
+    return ts_reduce_stats(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: builder for name, (builder, _sql) in REGISTRY.items()
+    }
+    out.update(TRANSCRIPT_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_builder, sql) in REGISTRY.items()}

@@ -1,0 +1,1010 @@
+"""Driver-facing query registry: every implemented operator as a
+(Spark builder, DuckDB oracle SQL) pair over the driver's parquet tables.
+
+Each entry re-expresses a reference operator family (file:line cited per
+query, SURVEY.md §2) over the `events` (time-series), TPC-H-ish,
+`documents` and `embeddings` tables. The Spark side is DataFrame-API /
+Catalyst-native; the SQL string is the independent DuckDB oracle the
+driver hashes against.
+
+Determinism rules (so order-insensitive value hashes match exactly):
+- selection-based stats (min/max/median/quantile/first-by-order) use raw
+  input doubles — bit-deterministic;
+- accumulation-based stats sum EXACT decimals, divide in double;
+- any residually order-sensitive float (skew, entropy, cosine) is rounded
+  to 6 dp on BOTH sides (error ~1e-12 << 5e-7 rounding step);
+- every ranking uses a total order (value desc, key asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import reduce as R
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(col):
+    return F.round(col, 6)
+
+
+_DEC = "decimal(18,4)"
+
+
+# ---------------------------------------------------------------------------
+# A. time-series core over `events` (key = user_id, index = ts, band = value)
+# ---------------------------------------------------------------------------
+
+
+def ts_reduce_stats(spark, sf_dir):
+    """sits_reduce kernel family (/root/reference/src/reduce_fns.cpp:12-92)
+    as one grouped aggregation."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r6(R.t_mean(v)).alias("v_mean"),
+        R.t_min(v).alias("v_min"),
+        R.t_max(v).alias("v_max"),
+        _r6(R.t_amplitude(v)).alias("v_amplitude"),
+        _r6(R.t_median(v)).alias("v_median"),
+        _r6(R.t_std(v)).alias("v_std"),
+        _r6(R.t_quantile(v, 0.25)).alias("v_fqr"),
+        _r6(R.t_quantile(v, 0.75)).alias("v_tqr"),
+        _r6(R.t_iqr(v)).alias("v_iqr"),
+    )
+
+
+SQL_TS_REDUCE_STATS = f"""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(round(CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) / count(value), 6) AS DOUBLE) AS v_mean,
+       min(value) AS v_min,
+       max(value) AS v_max,
+       CAST(round(max(value) - min(value), 6) AS DOUBLE) AS v_amplitude,
+       CAST(round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS DOUBLE) AS v_median,
+       CAST(round(sqrt((CAST(CAST(sum(CAST(value AS {_DEC}) * CAST(value AS {_DEC})) AS VARCHAR) AS DOUBLE)
+             - CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) * CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) / count(value))
+             / (count(value) - 1.0)), 6) AS DOUBLE) AS v_std,
+       CAST(round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 6) AS DOUBLE) AS v_fqr,
+       CAST(round(CAST(quantile_cont(value, 0.75) AS DOUBLE), 6) AS DOUBLE) AS v_tqr,
+       CAST(round(CAST(quantile_cont(value, 0.75) AS DOUBLE) - CAST(quantile_cont(value, 0.25) AS DOUBLE), 6) AS DOUBLE) AS v_iqr
+FROM events GROUP BY user_id
+"""
+
+
+def ts_reduce_fslope(spark, sf_dir):
+    """t_fslope: max |first difference| per series ordered by (ts, event_id)
+    (/root/reference/src/reduce_fns.cpp:68-70)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = F.abs(F.col("value") - F.lag("value").over(w))
+    return (
+        e.select("user_id", d.alias("d"))
+        .groupBy("user_id")
+        .agg(_r6(F.max("d")).alias("v_fslope"))
+    )
+
+
+SQL_TS_REDUCE_FSLOPE = """
+SELECT user_id, CAST(round(max(d), 6) AS DOUBLE) AS v_fslope
+FROM (SELECT user_id, abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS d FROM events)
+GROUP BY user_id
+"""
+
+
+def ts_reduce_skew_kurt(spark, sf_dir):
+    """t_skewness / t_kurtosis with the reference's exact formulas
+    (/root/reference/src/reduce_fns.cpp:37-60), two-pass central moments."""
+    e = _t(spark, sf_dir, "events")
+    means = e.groupBy("user_id").agg(
+        (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("value")).alias("m")
+    )
+    j = e.join(F.broadcast(means), "user_id")
+    d = F.col("value") - F.col("m")
+    n = F.count("value").cast("double")
+    m3 = F.sum(d * d * d) / n
+    s15 = F.pow(F.sum(d * d) / n, F.lit(1.5))
+    adj = F.sqrt(n * (n - 1)) / n - F.lit(2.0)
+    m4 = F.sum(d * d * d * d)
+    m2sq = F.pow(F.sum(d * d), F.lit(2.0))
+    return j.groupBy("user_id").agg(
+        _r6((m3 / s15) * adj).alias("v_skew"),
+        _r6(n * m4 / m2sq).alias("v_kurt"),
+    )
+
+
+SQL_TS_REDUCE_SKEW_KURT = f"""
+WITH m AS (
+  SELECT user_id, CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) / count(value) AS m
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       CAST(round((sum(pow(e.value - m.m, 3)) / count(*))
+            / pow(sum(pow(e.value - m.m, 2)) / count(*), 1.5)
+            * (sqrt(count(*) * (count(*) - 1.0)) / count(*) - 2.0), 6) AS DOUBLE) AS v_skew,
+       CAST(round(count(*) * sum(pow(e.value - m.m, 4))
+            / pow(sum(pow(e.value - m.m, 2)), 2.0), 6) AS DOUBLE) AS v_kurt
+FROM events e JOIN m ON e.user_id = m.user_id
+GROUP BY e.user_id
+"""
+
+
+def ts_regularize_first(spark, sf_dir):
+    """Regularization aggregate: first value per period bucket in
+    deterministic quality order — the `agg_method="first"` +
+    least-cloud-first pattern (/root/reference/R/api_regularize.R:68-73,
+    R/api_gdalcubes.R:14-47,556-564); here order = (ts, event_id)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", day, "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("first_value"))
+    )
+
+
+SQL_TS_REGULARIZE_FIRST = """
+SELECT user_id, day, first_value FROM (
+  SELECT user_id, date_trunc('day', ts) AS day, value AS first_value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def ts_grid_gapfill_day(spark, sf_dir):
+    """Timeline materialization with empty slots + LOCF fill: the
+    regular-grid + gap-slot pattern (/root/reference/R/api_regularize.R:91-103)
+    and LOCF trailing fill (/root/reference/src/linear_interp.cpp:47-54) as
+    pure SQL (sequence/explode + last IGNORE NULLS)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _r6(
+            F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("v_mean"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    g = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        "user_id",
+        "day",
+        F.col("n").isNotNull().alias("present"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.col("v_mean"),
+        F.last("v_mean", ignorenulls=True).over(w).alias("v_locf"),
+    )
+
+
+SQL_TS_GRID_GAPFILL_DAY = f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n,
+         CAST(round(CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) / count(*), 6) AS DOUBLE) AS v_mean
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id)
+)
+SELECT g.user_id, g.day,
+       d.n IS NOT NULL AS present,
+       coalesce(d.n, 0) AS n_events,
+       d.v_mean AS v_mean,
+       last_value(d.v_mean IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+"""
+
+
+def ts_acq_summary_hour(spark, sf_dir):
+    """Acquisition summary: counts per (entity, period)
+    (/root/reference/R/api_cube.R:834-887)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+SQL_TS_ACQ_SUMMARY_HOUR = """
+SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def ts_select_interval(spark, sf_dir):
+    """sits_select temporal interval + value-range predicate
+    (/root/reference/R/api_select.R:42-52, R/api_ts.R:306-309)."""
+    e = _t(spark, sf_dir, "events")
+    return e.where(
+        (F.col("ts") >= F.lit("2024-01-10")) & (F.col("ts") < F.lit("2024-01-20"))
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(F.col("value").between(50.0, 150.0), F.col("value")).alias(
+            "value_clamped"
+        ),
+    )
+
+
+SQL_TS_SELECT_INTERVAL = """
+SELECT event_id, user_id, ts, event_type, value,
+       CASE WHEN value BETWEEN 50.0 AND 150.0 THEN value END AS value_clamped
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+"""
+
+
+def ts_asof_zipper(spark, sf_dir):
+    """The merge zipper / as-of alignment
+    (/root/reference/R/api_merge.R:51-85): each click gets the latest
+    purchase value at or before its ts, per user. Purchases deduped to
+    max(value) per (user, ts) so the as-of pick is total-ordered."""
+    e = _t(spark, sf_dir, "events")
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+        .select("user_id", "ts", "pv", F.lit(0).alias("pri"))
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value", F.lit(None).cast("double").alias("pv"), F.lit(1).alias("pri")
+    )
+    mixed = purchases.select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"), "pv", "pri"
+    ).unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "pri")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        mixed.withColumn("last_purchase_value", F.last("pv", ignorenulls=True).over(w))
+        .where(F.col("pri") == 1)
+        .select("event_id", "user_id", "ts", "value", "last_purchase_value")
+    )
+
+
+SQL_TS_ASOF_ZIPPER = """
+WITH p AS (
+  SELECT user_id, ts, max(value) AS pv FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+c AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts, c.value, p.pv AS last_purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def ts_merge_bind(spark, sf_dir):
+    """Cube merge, bind strategy = row union
+    (/root/reference/R/api_merge.R:131-143)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click")
+    b = e.where(F.col("event_type") == "error")
+    return (
+        a.unionByName(b)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_TS_MERGE_BIND = """
+SELECT user_id, event_type, count(*) AS n FROM (
+  SELECT * FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT * FROM events WHERE event_type = 'error'
+) GROUP BY 1, 2
+"""
+
+
+def ts_timeline_intersection(spark, sf_dir):
+    """Timeline intersection: max-of-mins .. min-of-maxes across series
+    groups (/root/reference/R/api_gdalcubes.R:318-367)."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    return per.agg(
+        F.max("mn").alias("common_start"), F.min("mx").alias("common_end")
+    )
+
+
+SQL_TS_TIMELINE_INTERSECTION = """
+SELECT max(mn) AS common_start, min(mx) AS common_end
+FROM (SELECT event_type, min(ts) AS mn, max(ts) AS mx FROM events GROUP BY 1)
+"""
+
+
+def ts_argmax_label(spark, sf_dir):
+    """Label argmax (/root/reference/src/label_class.cpp:6-10): each
+    user's most frequent event_type; ties broken lexicographically."""
+    e = _t(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "n")
+    )
+
+
+SQL_TS_ARGMAX_LABEL = """
+SELECT user_id, event_type AS top_type, n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+def ts_entropy_uncertainty(spark, sf_dir):
+    """Uncertainty / entropy measure (/root/reference/src/uncertainty.cpp:7-25):
+    Shannon entropy of each user's event_type distribution."""
+    e = _t(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("user_id").agg(F.sum("n").alias("t"))
+    p = cnt.join(tot, "user_id").select(
+        "user_id", (F.col("n").cast("double") / F.col("t")).alias("p")
+    )
+    return p.groupBy("user_id").agg(
+        _r6(-F.sum(F.col("p") * F.log("p"))).alias("entropy")
+    )
+
+
+SQL_TS_ENTROPY_UNCERTAINTY = """
+WITH cnt AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+tot AS (SELECT user_id, sum(n) AS t FROM cnt GROUP BY 1)
+SELECT cnt.user_id,
+       CAST(round(-sum((CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)), 6) AS DOUBLE) AS entropy
+FROM cnt JOIN tot ON cnt.user_id = tot.user_id
+GROUP BY cnt.user_id
+"""
+
+
+def ts_normalize_minmax(spark, sf_dir):
+    """Min-max normalization with clamp [0.0001, 1]
+    (/root/reference/src/normalize_data.cpp:10-20), per event_type."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    norm = (F.col("value") - F.min("value").over(w)) / (
+        F.max("value").over(w) - F.min("value").over(w)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        _r6(F.greatest(F.least(norm, F.lit(1.0)), F.lit(0.0001))).alias("v_norm"),
+    )
+
+
+SQL_TS_NORMALIZE_MINMAX = """
+SELECT event_id, event_type,
+       CAST(round(greatest(least((value - min(value) OVER (PARTITION BY event_type))
+         / (max(value) OVER (PARTITION BY event_type) - min(value) OVER (PARTITION BY event_type)),
+         1.0), 0.0001), 6) AS DOUBLE) AS v_norm
+FROM events
+"""
+
+
+def ts_cascade_1h_1d(spark, sf_dir):
+    """Tier cascade: daily aggregates re-composed from hourly partials
+    (sums/counts compose exactly — our 1m->1h->1d retention design;
+    oracle aggregates days directly, proving composition exactness)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(_DEC)).alias("sv"),
+    )
+    return (
+        hourly.groupBy(
+            "user_id", F.date_trunc("day", "hour").alias("day")
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_TS_CASCADE_1H_1D = f"""
+SELECT user_id, date_trunc('day', ts) AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def ts_hash_sample(spark, sf_dir):
+    """Deterministic stratification stand-in for sits_sample
+    (/root/reference/R/sits_sample_functions.R:27): portable 1/16 hash
+    sample on md5(event_id)."""
+    e = _t(spark, sf_dir, "events")
+    return e.where(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "0"
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+SQL_TS_HASH_SAMPLE = """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+"""
+
+
+def ts_json_props(spark, sf_dir):
+    """Scalar JSON extraction over the props column (SURVEY.md §2.8 —
+    reference has no JSON; transcripts metadata does)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_k")
+    )
+
+
+SQL_TS_JSON_PROPS = """
+SELECT event_type, sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       count(CAST(props->>'k' AS BIGINT)) AS n_k
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# B. joins / TPC-H-ish
+# ---------------------------------------------------------------------------
+
+
+def join_dim_rollup(spark, sf_dir):
+    """Polygon-average analog (/root/reference/R/api_data.R:457-490):
+    events joined through broadcast dims (customer -> nation -> region),
+    averaged per region."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("c_custkey"), F.col("r_name"))
+    )
+    j = e.join(F.broadcast(dim), e.user_id == dim.c_custkey)
+    return j.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r6(
+            F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("avg_value"),
+    )
+
+
+SQL_JOIN_DIM_ROLLUP = f"""
+SELECT r.r_name, count(*) AS n_events,
+       CAST(round(CAST(sum(CAST(e.value AS {_DEC})) AS DOUBLE) / count(*), 6) AS DOUBLE) AS avg_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def join_missing_anti(spark, sf_dir):
+    """Missing-jobs anti-join (resume pattern,
+    /root/reference/R/api_gdalcubes.R:713-760): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_JOIN_MISSING_ANTI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def tpch_q1(spark, sf_dir):
+    """Pricing-summary rollup (TPC-H Q1 shape) with exact decimal sums —
+    the engine's general agg path; flagship Catalyst plan."""
+    l = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    tax = F.col("l_tax").cast("decimal(6,4)")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("string").cast("double").alias("sum_qty"),
+            F.sum(price).cast("string").cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc)).cast("string").cast("double").alias("sum_disc_price"),
+            F.sum(
+                (price * (F.lit(1).cast("decimal(6,4)") - disc))
+                * (F.lit(1).cast("decimal(6,4)") + tax)
+            ).cast("string").cast("double").alias("sum_charge"),
+            _r6(F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            _r6(F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            _r6(F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum((CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+                * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+       CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS DOUBLE) AS avg_qty,
+       CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS DOUBLE) AS avg_price,
+       CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / count(*), 6) AS DOUBLE) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3_topk(spark, sf_dir):
+    """Join + deterministic top-k (SURVEY.md §2.6 sort/limit family)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < cutoff)
+            & (F.col("l_shipdate") > cutoff)
+        )
+    )
+    agg = j.groupBy("o_orderkey", "o_orderdate").agg(
+        F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc))
+        .cast("string")
+        .cast("double")
+        .alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+SQL_TPCH_Q3_TOPK = """
+SELECT o_orderkey, o_orderdate,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# C. documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+
+def doc_dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash: every doc mapped to the smallest
+    doc_id sharing its md5(text) (hash-groupBy dedup family)."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.md5("text").alias("h"))
+    canon = h.groupBy("h").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_n")
+    )
+    return (
+        h.join(canon, "h")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("group_n") > 1).alias("is_dup"),
+        )
+    )
+
+
+SQL_DOC_DEDUP_EXACT = """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+c AS (SELECT h, min(doc_id) AS canonical_id, count(*) AS group_n FROM h GROUP BY h)
+SELECT h.doc_id, c.canonical_id, c.group_n > 1 AS is_dup
+FROM h JOIN c ON h.h = c.h
+"""
+
+
+def doc_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup detection: word-3-gram shingles, rare
+    shingles only (df <= 20 — the standard inverted-index pruning), pairs
+    with Jaccard >= 0.5 over rare-shingle sets."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(split(text, '\\\\s+')) - 3),"
+                    " i -> concat(split(text, '\\\\s+')[i], ' ',"
+                    " split(text, '\\\\s+')[i+1], ' ', split(text, '\\\\s+')[i+2]))"
+                )
+            )
+        ).alias("s"),
+    )
+    df_cnt = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(df_cnt.where(F.col("df") <= 20), "s").select("doc_id", "s")
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _r6(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+SQL_DOC_NGRAM_JACCARD = """
+WITH words AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM words,
+    UNNEST(list_transform(generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+),
+rare AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(round(common / (sa.sz + sb.sz - common), 6) AS DOUBLE) AS jaccard
+FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
+           JOIN sizes sb ON pairs.doc_b = sb.doc_id
+WHERE common / (sa.sz + sb.sz - common) >= 0.5
+"""
+
+
+_MINHASH_K = 8
+_MINHASH_P = 1_000_003
+_MINHASH_AB = [(97 + 13 * i, 31 + 7 * i) for i in range(_MINHASH_K)]
+
+
+def doc_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: portable word hash
+    h(w) = int(md5(w)[:8], 16); k=8 permutations (a*h+b) mod p; 4 bands of
+    2 rows; candidate pairs share >= 1 band."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("w")
+    )
+    h = words.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    mins = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(_MINHASH_AB)
+        ]
+    )
+    bands = mins.select(
+        "doc_id",
+        F.concat_ws(
+            ":", *[F.col(f"m{i}").cast("string") for i in range(_MINHASH_K)]
+        ).alias("band"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _sql_minhash() -> str:
+    mins = ",\n  ".join(
+        f"min(({a} * h + {b}) % {_MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+    bands = " || ':' || ".join(f"CAST(m{i} AS VARCHAR)" for i in range(_MINHASH_K))
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM documents, UNNEST(regexp_split_to_array(text, '\\s+')) AS t(w)
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words),
+mins AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+bands AS (SELECT doc_id, {bands} AS band FROM mins)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+SQL_DOC_MINHASH_LSH = _sql_minhash()
+
+_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in')"
+
+
+def doc_text_quality(spark, sf_dir):
+    """Text quality scoring: token count, punctuation ratio, stopword
+    ratio, composite quality score (training-data pipeline op)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    n_tok = F.size(words)
+    n_stop = F.size(F.expr(f"filter(split(text, '\\\\s+'), w -> w IN {_STOPWORDS})"))
+    n_punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
+    stop_ratio = n_stop.cast("double") / n_tok
+    punct_ratio = n_punct.cast("double") / F.length("text")
+    quality = F.lit(1.0) - punct_ratio - F.when(stop_ratio > 0.5, stop_ratio - 0.5).otherwise(0.0)
+    return d.select(
+        "doc_id",
+        n_tok.alias("token_count"),
+        n_stop.alias("stopword_count"),
+        _r6(punct_ratio).alias("punct_ratio"),
+        _r6(stop_ratio).alias("stopword_ratio"),
+        _r6(quality).alias("quality_score"),
+    )
+
+
+SQL_DOC_TEXT_QUALITY = f"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\\s+')) AS token_count,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w IN {_STOPWORDS})) AS stopword_count,
+       CAST(round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS DOUBLE) AS punct_ratio,
+       CAST(round(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w IN {_STOPWORDS})) AS DOUBLE)
+            / len(regexp_split_to_array(text, '\\s+')), 6) AS DOUBLE) AS stopword_ratio,
+       CAST(round(1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+            - CASE WHEN CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w IN {_STOPWORDS})) AS DOUBLE)
+                        / len(regexp_split_to_array(text, '\\s+')) > 0.5
+                   THEN CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w IN {_STOPWORDS})) AS DOUBLE)
+                        / len(regexp_split_to_array(text, '\\s+')) - 0.5
+                   ELSE 0.0 END, 6) AS DOUBLE) AS quality_score
+FROM documents
+"""
+
+
+def doc_langid(spark, sf_dir):
+    """Heuristic language ID: ordered marker-word cascade (n-gram
+    heuristic family; deterministic, shared with oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pred = (
+        F.when(t.contains("的"), "zh")
+        .when(t.contains(" der ") | t.contains(" und "), "de")
+        .when(t.contains(" el ") | t.contains(" la "), "es")
+        .when(t.contains(" le ") | t.contains(" les "), "fr")
+        .otherwise("en")
+    )
+    return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+SQL_DOC_LANGID = """
+SELECT doc_id, lang,
+       CASE WHEN contains(' ' || text || ' ', '的') THEN 'zh'
+            WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' und ') THEN 'de'
+            WHEN contains(' ' || text || ' ', ' el ') OR contains(' ' || text || ' ', ' la ') THEN 'es'
+            WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' les ') THEN 'fr'
+            ELSE 'en' END AS lang_pred
+FROM documents
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of whitespace-normalized lowercased
+    text + byte length of the utf-8 payload (binary-column plumbing)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# D. embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def emb_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: queries = vec_id < 10,
+    k = 5; rank by (rounded sim desc, vec_id asc)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    j = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
+    sim = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = j.select("query_id", "neighbor_id", _r6(sim).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+SQL_EMB_KNN_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(round(list_dot_product(qv, cv) /
+              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS DOUBLE) AS cosine
+  FROM c, q WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s
+) WHERE rank <= 5
+"""
+
+_N_PLANES = 8
+
+
+def _plane(j: int) -> list[float]:
+    # deterministic pseudo-random hyperplane: +-1 pattern shared with SQL
+    return [1.0 if ((i * 7 + j * 13 + i * j) % 5) < 2 else -1.0 for i in range(64)]
+
+
+def emb_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketing (random-hyperplane scheme) — the scale path for
+    ANN: 8 fixed hyperplanes -> 8 sign bits -> bucket id."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = F.lit(0)
+    for j in range(_N_PLANES):
+        plane = F.array(*[F.lit(v) for v in _plane(j)])
+        bit = (_dot(F.col("embedding"), plane) > 0).cast("int")
+        bucket = bucket + bit * F.lit(2**j)
+    return e.select("vec_id", "label", bucket.alias("bucket"))
+
+
+def _sql_lsh() -> str:
+    terms = []
+    for j in range(_N_PLANES):
+        arr = ", ".join(str(v) for v in _plane(j))
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{arr}]) > 0 THEN 1 ELSE 0 END) * {2**j}"
+        )
+    return f"SELECT vec_id, label, {' + '.join(terms)} AS bucket FROM embeddings"
+
+
+SQL_EMB_LSH_BUCKETS = _sql_lsh()
+
+
+def emb_label_knn_purity(spark, sf_dir):
+    """ANN quality probe: majority label among each query's top-5
+    neighbors (exercises knn + argmax composition)."""
+    knn = emb_knn_cosine(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    j = knn.join(F.broadcast(e), "neighbor_id")
+    cnt = j.groupBy("query_id", "n_label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("n_label"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("n_label").alias("majority_label"), "n")
+    )
+
+
+SQL_EMB_LABEL_KNN_PURITY = f"""
+WITH knn AS ({SQL_EMB_KNN_COSINE}),
+j AS (SELECT knn.query_id, e.label AS n_label FROM knn JOIN embeddings e ON knn.neighbor_id = e.vec_id),
+cnt AS (SELECT query_id, n_label, count(*) AS n FROM j GROUP BY 1, 2)
+SELECT query_id, n_label AS majority_label, n FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n DESC, n_label ASC) AS rn FROM cnt
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    "ts_reduce_stats": (ts_reduce_stats, SQL_TS_REDUCE_STATS),
+    "ts_reduce_fslope": (ts_reduce_fslope, SQL_TS_REDUCE_FSLOPE),
+    "ts_reduce_skew_kurt": (ts_reduce_skew_kurt, SQL_TS_REDUCE_SKEW_KURT),
+    "ts_regularize_first": (ts_regularize_first, SQL_TS_REGULARIZE_FIRST),
+    "ts_grid_gapfill_day": (ts_grid_gapfill_day, SQL_TS_GRID_GAPFILL_DAY),
+    "ts_acq_summary_hour": (ts_acq_summary_hour, SQL_TS_ACQ_SUMMARY_HOUR),
+    "ts_select_interval": (ts_select_interval, SQL_TS_SELECT_INTERVAL),
+    "ts_asof_zipper": (ts_asof_zipper, SQL_TS_ASOF_ZIPPER),
+    "ts_merge_bind": (ts_merge_bind, SQL_TS_MERGE_BIND),
+    "ts_timeline_intersection": (ts_timeline_intersection, SQL_TS_TIMELINE_INTERSECTION),
+    "ts_argmax_label": (ts_argmax_label, SQL_TS_ARGMAX_LABEL),
+    "ts_entropy_uncertainty": (ts_entropy_uncertainty, SQL_TS_ENTROPY_UNCERTAINTY),
+    "ts_normalize_minmax": (ts_normalize_minmax, SQL_TS_NORMALIZE_MINMAX),
+    "ts_cascade_1h_1d": (ts_cascade_1h_1d, SQL_TS_CASCADE_1H_1D),
+    "ts_hash_sample": (ts_hash_sample, SQL_TS_HASH_SAMPLE),
+    "ts_json_props": (ts_json_props, SQL_TS_JSON_PROPS),
+    "join_dim_rollup": (join_dim_rollup, SQL_JOIN_DIM_ROLLUP),
+    "join_missing_anti": (join_missing_anti, SQL_JOIN_MISSING_ANTI),
+    "tpch_q1": (tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3_topk": (tpch_q3_topk, SQL_TPCH_Q3_TOPK),
+    "doc_dedup_exact": (doc_dedup_exact, SQL_DOC_DEDUP_EXACT),
+    "doc_ngram_jaccard": (doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD),
+    "doc_minhash_lsh": (doc_minhash_lsh, SQL_DOC_MINHASH_LSH),
+    "doc_text_quality": (doc_text_quality, SQL_DOC_TEXT_QUALITY),
+    "doc_langid": (doc_langid, SQL_DOC_LANGID),
+    "doc_fingerprint": (doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "emb_knn_cosine": (emb_knn_cosine, SQL_EMB_KNN_COSINE),
+    "emb_lsh_buckets": (emb_lsh_buckets, SQL_EMB_LSH_BUCKETS),
+    "emb_label_knn_purity": (emb_label_knn_purity, SQL_EMB_LABEL_KNN_PURITY),
+}
