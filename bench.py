@@ -1,0 +1,194 @@
+"""Benchmark harness (driver contract + scaling-efficiency evidence).
+
+Main mode (no args):
+  1. ensures the deterministic bench-scale transcript table exists
+     (seeded generator, parquet under .data/),
+  2. runs the full rollup pipeline (raw -> 1m -> {1h,1d} -> packed) in
+     TWO subprocess JVMs — local[8] and local[32] — on the same input
+     (BASELINE.md protocol: the sandbox stand-in for N vs 4N executors),
+  3. times the headline operator queries at $SPARK_GRAFT_SF_DIR
+     (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS],
+  4. writes BENCH/BASELINE.md and prints ONE JSON line:
+     {"metric": "rollup_points_per_sec", "value": <pps at local[32]>,
+      "unit": "points/sec", "queries": {name: sec, ...}, "sf": ...,
+      "pps_8": ..., "pps_32": ..., "scaling_efficiency": ...,
+      "turns_per_sec_32": ...}
+
+"points" = rows materialized across output tiers
+(tier_1m + agg_1h + agg_1d + packed_1h).
+
+Worker mode: bench.py --pipeline-worker <cpus> <input_dir>
+  runs the pipeline once on local[<cpus>], prints {"elapsed": s,
+  "points": n, "turns": n} on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_DATA = os.path.join(REPO, ".data", "bench_transcripts_v1")
+
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "150000"))
+HOT_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_HOT", "200000"))
+
+HEADLINE_QUERIES = [
+    "tpch_q1",
+    "ts_reduce_stats",
+    "ts_grid_gapfill_day",
+    "ts_asof_zipper",
+    "ts_regularize_first",
+    "ts_cascade_1h_1d",
+    "join_dim_rollup",
+    "doc_dedup_exact",
+    "doc_text_quality",
+    "emb_knn_cosine",
+]
+
+
+def ensure_bench_data() -> str:
+    marker = os.path.join(BENCH_DATA, "_DONE")
+    if os.path.exists(marker):
+        return BENCH_DATA
+    from sits_spark.fixtures import write_transcripts_parquet
+
+    shutil.rmtree(BENCH_DATA, ignore_errors=True)
+    total = write_transcripts_parquet(
+        BENCH_DATA, n_convs=N_CONVS, seed=42, hot_turns=HOT_TURNS
+    )
+    with open(marker, "w") as f:
+        f.write(str(total))
+    return BENCH_DATA
+
+
+def pipeline_worker(cpus: int, input_dir: str) -> None:
+    from sits_spark.pipeline import RollupPipeline
+    from sits_spark.session import get_spark
+
+    from sits_spark.manifest import footer_counts
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 16))
+    # tmpfs warehouse: keeps the measurement about the engine, not virtio
+    wh = tempfile.mkdtemp(prefix=f"bench_wh_{cpus}_", dir="/dev/shm")
+    try:
+        import pyarrow.parquet as pq
+
+        turns = sum(
+            pq.ParquetFile(os.path.join(input_dir, f)).metadata.num_rows
+            for f in os.listdir(input_dir)
+            if f.endswith(".parquet")
+        )
+        t0 = time.time()
+        pipe = RollupPipeline(spark, wh)
+        pipe.run(input_dir, run_id=f"bench-{cpus}", resume=False)
+        points = 0
+        for tier in ("tier_1m", "agg", "packed_1h"):
+            points += sum(footer_counts(os.path.join(wh, tier)).values())
+        elapsed = time.time() - t0
+        print(json.dumps({"elapsed": elapsed, "points": points, "turns": turns}))
+    finally:
+        spark.stop()
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def run_worker(cpus: int, input_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--pipeline-worker", str(cpus), input_dir],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=3600,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"worker local[{cpus}] failed:\n{out.stderr[-3000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-worker":
+        pipeline_worker(int(sys.argv[2]), sys.argv[3])
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    data = ensure_bench_data()
+    # host-level noise can inflate a run 2-4x (observed); best-of-2 per level
+    r8 = min((run_worker(8, data) for _ in range(2)), key=lambda r: r["elapsed"])
+    r32 = min((run_worker(32, data) for _ in range(2)), key=lambda r: r["elapsed"])
+    pps_8 = r8["points"] / r8["elapsed"]
+    pps_32 = r32["points"] / r32["elapsed"]
+    eff = (pps_32 / pps_8) / (32 / 8)
+
+    # headline operator queries at the sf dir
+    from sits_spark.queries import REGISTRY
+    from sits_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    qtimes: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        builder, _sql = REGISTRY[name]
+        t0 = time.time()
+        builder(spark, sf_dir).count()
+        qtimes[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "rollup_points_per_sec",
+        "value": round(pps_32, 1),
+        "unit": "points/sec",
+        "queries": qtimes,
+        "sf": sf,
+        "pps_8": round(pps_8, 1),
+        "pps_32": round(pps_32, 1),
+        "scaling_efficiency": round(eff, 3),
+        "turns": r32["turns"],
+        "points": r32["points"],
+        "elapsed_8": round(r8["elapsed"], 1),
+        "elapsed_32": round(r32["elapsed"], 1),
+        "turns_per_sec_32": round(r32["turns"] / r32["elapsed"], 1),
+    }
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH — measured rollup throughput + scaling efficiency
+
+Input: deterministic synthetic transcript table, {r32['turns']:,} turns
+({N_CONVS:,} convs + 3 hot convs, seed 42), generated by
+`sits_spark.fixtures.write_transcripts_parquet`.
+
+Pipeline: raw -> observed 1m slots (Catalyst agg) -> gap-fill + SG +
+Whittaker (grouped pandas UDFs) -> agg_1h + agg_1d + Gorilla-packed
+blocks, written partitioned by (bucket(conv_id), day) with manifests.
+
+"points" = rows materialized across output tiers
+(tier_1m + agg_1h + agg_1d + packed_1h) = {r32['points']:,}.
+
+| parallelism | wall (s) | points/sec | turns/sec |
+|---|---|---|---|
+| local[8]  | {r8['elapsed']:.1f} | {pps_8:,.0f} | {r8['turns']/r8['elapsed']:,.0f} |
+| local[32] | {r32['elapsed']:.1f} | {pps_32:,.0f} | {r32['turns']/r32['elapsed']:,.0f} |
+
+**Scaling efficiency (8 -> 32 cores, the sandbox N -> 4N stand-in):**
+(pps_32 / pps_8) / 4 = **{eff:.3f}** (gate: >= 0.8, BASELINE.md)
+
+Headline operator queries at sf{sf} (local[{cpus}]), seconds:
+
+| query | sec |
+|---|---|
+""" + "".join(f"| {k} | {v} |\n" for k, v in qtimes.items())
+        )
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

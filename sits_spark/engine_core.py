@@ -57,7 +57,7 @@ ROLLUP_COLS = [
 PACK_COLS = ["window_start_s", "n", "first_ts", "first_val", "ts_d2", "vals_gorilla"]
 
 
-def observed_to_grid(
+def scatter_grid(
     slot_s: np.ndarray,
     n_turns: np.ndarray,
     tokens_user: np.ndarray,
@@ -68,12 +68,9 @@ def observed_to_grid(
     alen_n: np.ndarray,
 ) -> dict[str, np.ndarray]:
     """Expand observed (sparse) 1-minute slots of ONE conv into the full
-    regular grid with gap slots materialized, gap-fill the assistant-length
-    band, and smooth it.
-
-    ``slot_s`` must be sorted ascending (canonical order); all arrays are
-    int64 and positionally aligned.
-    """
+    regular grid (gap slots materialized) with integer metrics and the raw
+    ``alen`` band (NULL where no assistant turn). ``slot_s`` must be sorted
+    ascending; all arrays are int64 and positionally aligned."""
     lo, hi = int(slot_s[0]), int(slot_s[-1])
     grid = np.arange(lo, hi + 60, 60, dtype=np.int64)
     t = len(grid)
@@ -91,28 +88,6 @@ def observed_to_grid(
         alen = np.where(
             g_alen_n > 0, g_alen_sum.astype(np.float64) / g_alen_n, np.nan
         )
-
-    filled = kernels.linear_interp_mtx(alen.reshape(1, -1))[0]
-
-    obs = ~np.isnan(alen)
-    flag = np.full(t, "linear", dtype=object)
-    flag[obs] = "obs"
-    if obs.any():
-        first, last = int(np.argmax(obs)), t - 1 - int(np.argmax(obs[::-1]))
-        flag[:first] = "locf_lead"
-        flag[last + 1 :] = "locf_trail"
-    else:
-        flag[:] = "empty"
-
-    if np.isnan(filled).all():
-        sg = filled.copy()
-        whit = filled.copy()
-    else:
-        sg = kernels.smooth_sg_mtx(
-            filled.reshape(1, -1), order=SG_ORDER, length=SG_LENGTH
-        )[0]
-        whit = kernels.smooth_whit_mtx(filled.reshape(1, -1), WHIT_LAMBDA)[0]
-
     return {
         "slot_start_s": grid,
         "present": g_turns > 0,
@@ -122,11 +97,62 @@ def observed_to_grid(
         "tokens_tool": scatter(tokens_tool),
         "tool_calls": scatter(tool_calls),
         "alen": alen,
-        "fill_flag": flag,
-        "alen_filled": filled,
-        "alen_sg": sg,
-        "alen_whit": whit,
     }
+
+
+def fill_flags_mtx(alen: np.ndarray) -> np.ndarray:
+    """Fill-flag taxonomy for a (B, T) band matrix: obs / linear /
+    locf_lead / locf_trail / empty (FIXTURES.md §2, mirroring the NULL
+    cases of /root/reference/src/linear_interp.cpp:25-73)."""
+    b, t = alen.shape
+    obs = ~np.isnan(alen)
+    flag = np.where(obs, "obs", "linear").astype(object)
+    any_obs = obs.any(axis=1)
+    first = np.argmax(obs, axis=1)
+    last = t - 1 - np.argmax(obs[:, ::-1], axis=1)
+    col = np.arange(t)[None, :]
+    flag[(col < first[:, None]) & any_obs[:, None]] = "locf_lead"
+    flag[(col > last[:, None]) & any_obs[:, None]] = "locf_trail"
+    flag[~any_obs, :] = "empty"
+    return flag
+
+
+def band_pipeline(alen: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gap-fill + Savitzky-Golay + Whittaker over a (B, T) band matrix.
+
+    Every kernel is elementwise along rows (no BLAS reductions), so a row's
+    result is bit-identical whether B is 1 (the oracle) or thousands (the
+    engine's length-batched path). All-NULL rows stay NULL (NaN propagates
+    through both smoothers)."""
+    filled = kernels.linear_interp_mtx(alen)
+    sg = kernels.smooth_sg_mtx(filled, order=SG_ORDER, length=SG_LENGTH)
+    whit = kernels.smooth_whit_mtx(filled, WHIT_LAMBDA)
+    return filled, sg, whit
+
+
+def observed_to_grid(
+    slot_s: np.ndarray,
+    n_turns: np.ndarray,
+    tokens_user: np.ndarray,
+    tokens_assistant: np.ndarray,
+    tokens_tool: np.ndarray,
+    tool_calls: np.ndarray,
+    alen_sum: np.ndarray,
+    alen_n: np.ndarray,
+) -> dict[str, np.ndarray]:
+    """Full per-conv grid: scatter + fill + flags + smooth (the oracle's
+    single-conv path; the engine batches band_pipeline by grid length)."""
+    grid = scatter_grid(
+        slot_s, n_turns, tokens_user, tokens_assistant, tokens_tool,
+        tool_calls, alen_sum, alen_n,
+    )
+    mtx = grid["alen"].reshape(1, -1)
+    filled, sg, whit = band_pipeline(mtx)
+    grid["fill_flag"] = fill_flags_mtx(mtx)[0]
+    grid["alen_filled"] = filled[0]
+    grid["alen_sg"] = sg[0]
+    grid["alen_whit"] = whit[0]
+    return grid
 
 
 def rollup_conv(grid: dict[str, np.ndarray], tier_seconds: int) -> dict[str, np.ndarray]:

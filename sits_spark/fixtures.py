@@ -203,7 +203,7 @@ def write_transcripts_parquet(
         n_turns = np.clip(rng.zipf(1.3, hi - lo), 5, 200).astype(np.int64)
         df = _assemble(conv_ids, n_turns, rng, pool)
         if lo == 0:
-            rng2 = np.random.default_rng([seed, -1])
+            rng2 = np.random.default_rng([seed, 2**31])
             hot = _assemble(
                 np.array(["conv-hot-1", "conv-hot-2", "conv-hot-3"], dtype=object),
                 np.array([hot_turns, hot_turns // 2, hot_turns // 4], dtype=np.int64),

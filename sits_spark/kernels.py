@@ -44,6 +44,9 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
+_SG_COEF_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
 def sgolay_coef(order: int = 3, length: int = 5) -> np.ndarray:
     """Savitzky-Golay filter coefficient matrix (length x length).
 
@@ -57,6 +60,9 @@ def sgolay_coef(order: int = 3, length: int = 5) -> np.ndarray:
         raise ValueError("sgolay length must be odd")
     if order >= length:
         raise ValueError("sgolay order must be < length")
+    key = (order, length)
+    if key in _SG_COEF_CACHE:
+        return _SG_COEF_CACHE[key]
     n, p = length, order
     filt = np.zeros((n, n), dtype=np.float64)
     k = n // 2
@@ -68,6 +74,7 @@ def sgolay_coef(order: int = 3, length: int = 5) -> np.ndarray:
         filt[row, :] = pinv[0, :]  # m = 0 derivative row (:73)
     # mirrored lower half (R/api_signal.R:76)
     filt[k + 1 : n, :] = filt[k - 1 :: -1, ::-1]
+    _SG_COEF_CACHE[key] = filt
     return filt
 
 
@@ -113,12 +120,22 @@ def smooth_sg_mtx(
     central = coef[k, :]
     z = _signal_filter_mtx(central, data)
     out = np.empty_like(data)
-    # head: rows 0..k-1 of coef applied to the first n samples (:54)
-    out[:, :k] = data[:, :n] @ coef[:k, :].T
+    # head: rows 0..k-1 of coef applied to the first n samples (:54).
+    # Explicit tap loops (not matmul) so the per-row float ops are
+    # identical whatever the batch height — (B, T) rows bit-match (1, T).
+    for r in range(k):
+        acc = data[:, 0] * coef[r, 0]
+        for j in range(1, n):
+            acc = acc + data[:, j] * coef[r, j]
+        out[:, r] = acc
     # interior: filtered output shifted so z[n-1..] aligns to out[k..] (:55)
     out[:, k : n_time - k] = z[:, n - 1 :]
     # tail: rows k+1..n-1 applied to the last n samples (:56)
-    out[:, n_time - k :] = data[:, n_time - n :] @ coef[k + 1 :, :].T
+    for r in range(k + 1, n):
+        acc = data[:, n_time - n] * coef[r, 0]
+        for j in range(1, n):
+            acc = acc + data[:, n_time - n + j] * coef[r, j]
+        out[:, n_time - n + r] = acc
     return out
 
 

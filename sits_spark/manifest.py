@@ -54,29 +54,58 @@ def input_fingerprint(path: str) -> str:
 
 
 class ManifestStore:
-    """Append-only manifest table under ``<warehouse>/_manifest``."""
+    """Append-only manifest table under ``<warehouse>/_manifest``.
+
+    Manifest rows are driver-side metadata (one row per committed conv
+    bucket), so reads/writes go through pyarrow directly — zero Spark
+    jobs. The layout stays plain parquet, readable by Spark/DuckDB."""
 
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.path = os.path.join(warehouse, "_manifest")
 
-    def committed_buckets(self, tier: str, fingerprint: str) -> set[int]:
+    def _read_all(self):
+        import pyarrow.parquet as pq
+
         if not os.path.isdir(self.path):
-            return set()
-        df = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
-        rows = (
-            df.where((F.col("tier") == tier) & (F.col("input_fingerprint") == fingerprint))
-            .select("bucket")
-            .distinct()
-            .collect()
-        )
-        return {r.bucket for r in rows}
+            return []
+        tables = []
+        for f in sorted(os.listdir(self.path)):
+            if f.endswith(".parquet") and not f.startswith("."):
+                tables.append(pq.read_table(os.path.join(self.path, f)))
+        return tables
+
+    def committed_buckets(self, tier: str, fingerprint: str) -> set[int]:
+        out: set[int] = set()
+        for t in self._read_all():
+            d = t.to_pydict()
+            for tt, b, fpv in zip(d["tier"], d["bucket"], d["input_fingerprint"]):
+                if tt == tier and fpv == fingerprint:
+                    out.add(b)
+        return out
 
     def commit(self, rows: list[tuple[str, int, str, int, str]]) -> None:
         if not rows:
             return
-        df = self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path, exist_ok=True)
+        table = pa.table(
+            {
+                "tier": [r[0] for r in rows],
+                "bucket": pa.array([r[1] for r in rows], pa.int32()),
+                "input_fingerprint": [r[2] for r in rows],
+                "row_count": pa.array([r[3] for r in rows], pa.int64()),
+                "run_id": [r[4] for r in rows],
+            }
+        )
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp)
+        # atomic publish: readers never see a partial manifest file
+        os.rename(tmp, os.path.join(self.path, f"commit-{uuid.uuid4().hex}.parquet"))
 
     def plan_missing(
         self, tier: str, fingerprint: str, n_buckets: int = N_BUCKETS
@@ -84,6 +113,27 @@ class ManifestStore:
         """Planned buckets minus committed ones (the anti-join)."""
         done = self.committed_buckets(tier, fingerprint)
         return [b for b in range(n_buckets) if b not in done]
+
+
+def footer_counts(tier_path: str) -> dict[int, int]:
+    """Per-bucket row counts from parquet FOOTERS only (no Spark job, no
+    data scan) — the metadata-only stand-in for Iceberg's per-partition
+    statistics."""
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    for root, _dirs, files in os.walk(tier_path):
+        bucket = None
+        for part in root.split(os.sep):
+            if part.startswith("bucket="):
+                bucket = int(part.split("=", 1)[1])
+        if bucket is None:
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                counts[bucket] = counts.get(bucket, 0) + md.num_rows
+    return counts
 
 
 def write_tier(

@@ -3,20 +3,24 @@
 The Spark re-expression of the reference's chunked physical pipeline
 (/root/reference/R/api_classify.R:32-246 skeleton; regularize entry
 R/sits_regularize.R:170-246): Catalyst handles scan + pruning + the slot
-aggregation, grouped pandas UDFs handle the per-series kernels, manifests
+aggregation, Arrow-batched kernels handle the per-series math, manifests
 handle resume, and tier outputs land partitioned by
 (bucket(conv_id), day) — the parquet-compatible Iceberg layout.
 
-Shuffle budget per run (see .explain() in tests):
-  raw -> observed slots      1 exchange (partial agg map-side first)
-  observed -> per-conv UDF   1 exchange (hash on conv_id)
-  1m -> rollup UDF           1 exchange on the (much smaller) 1m tier,
-                             computing BOTH 1h and 1d in a single pass
-  1m -> pack UDF             1 exchange (same width)
-An explicit repartitionByRange(conv_id) before the grouped stages keeps
-hot conversations spread by range boundaries (north rule); integer-sum
-re-aggregation additionally has the salted Catalyst path in
-operators.rollup.rollup_sums_catalyst.
+Job budget per run — exactly THREE Spark actions:
+  1. tier_1m write: scan -> slot agg (1 exchange, map-side partial) ->
+     range-partition+sort by conv (1 exchange) -> grid/fill/smooth
+     (mapInArrow) -> persist -> (bucket, day) exchange -> parquet
+  2. agg write:  cached clustered 1m tier -> rollup mapInArrow (both
+     tiers, zero new shuffles before the write exchange)
+  3. pack write: cached clustered 1m tier -> Gorilla mapInArrow
+Row counts come from parquet footers and manifest commits go through
+pyarrow — all driver-side metadata, zero extra Spark jobs; each stage
+commits its manifest rows as soon as its write lands (per-stage
+checkpointing, so a kill between stages resumes exactly there). Hot-conversation
+skew is pre-reduced by the slot aggregation; the integer re-aggregation
+path additionally has the salted two-phase variant
+(operators.rollup.rollup_sums_catalyst).
 """
 
 from __future__ import annotations
@@ -49,34 +53,6 @@ class RollupPipeline:
     def tier_path(self, tier: str) -> str:
         return os.path.join(self.warehouse, tier)
 
-    # -- stage runners --------------------------------------------------
-
-    def _run_buckets(
-        self,
-        tier: str,
-        fingerprint: str,
-        buckets: list[int],
-        build: "callable",
-        day_col: str,
-        run_id: str,
-    ) -> None:
-        """Compute + commit one tier for the given conv buckets."""
-        if not buckets:
-            return
-        df = build(buckets)
-        out_path = self.tier_path(tier)
-        mf.write_tier(df, out_path, day_col)
-        written = self.spark.read.parquet(out_path).where(
-            F.col("bucket").isin(buckets)
-        )
-        counts = {
-            r["bucket"]: r["cnt"]
-            for r in written.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
-        }
-        self.store.commit(
-            [(tier, b, fingerprint, counts.get(b, 0), run_id) for b in buckets]
-        )
-
     def run(
         self,
         input_path: str,
@@ -87,91 +63,95 @@ class RollupPipeline:
     ) -> dict[str, str]:
         """Run (or resume) the full pipeline over a transcript table on disk.
 
-        Returns {tier_name: output_path}. With ``resume=True``, buckets
-        already committed for this input fingerprint are skipped — the
-        anti-join resume pattern (sits' `.gc_missing_tiles`,
+        Returns {tier_name: output_path}. With ``resume=True``, conv
+        buckets already committed for this input fingerprint are skipped —
+        the anti-join resume pattern (sits' `.gc_missing_tiles`,
         /root/reference/R/api_gdalcubes.R:713-760).
         """
-        spark = self.spark
         fp = mf.input_fingerprint(input_path)
-        raw = spark.read.parquet(input_path)
+        raw = self.spark.read.parquet(input_path)
+
+        def plan(tier: str) -> list[int]:
+            if not resume:
+                return list(range(self.n_buckets))
+            return self.store.plan_missing(tier, fp, self.n_buckets)
 
         def bucket_filter(df: DataFrame, buckets: list[int]) -> DataFrame:
             if len(buckets) == self.n_buckets:
                 return df
             return df.where(mf.bucket_expr().isin(buckets))
 
-        # ---- tier_1m: raw -> dense smoothed minute grid ----
-        t1m_buckets = (
-            self.store.plan_missing("tier_1m", fp, self.n_buckets)
-            if resume
-            else list(range(self.n_buckets))
-        )
+        out: dict[str, str] = {}
 
-        def build_t1m(buckets: list[int]) -> DataFrame:
-            df = bucket_filter(raw, buckets).repartitionByRange(
-                self.range_partitions, "conv_id"
+        # ---- stage 1: raw -> dense smoothed 1m tier (one action) ----
+        t1m_buckets = plan("tier_1m")
+        clustered: DataFrame | None = None
+        if t1m_buckets:
+            t1m = regularize.tier_1m(
+                bucket_filter(raw, t1m_buckets), self.range_partitions
             )
-            return regularize.tier_1m(df)
+            clustered = rollup.cluster_by_conv(t1m, self.range_partitions).persist()
+            mf.write_tier(clustered, self.tier_path("tier_1m"), "slot_start")
+            counts = mf.footer_counts(self.tier_path("tier_1m"))
+            self.store.commit(
+                [("tier_1m", b, fp, counts.get(b, 0), run_id) for b in t1m_buckets]
+            )
+        out["tier_1m"] = self.tier_path("tier_1m")
 
-        self._run_buckets("tier_1m", fp, t1m_buckets, build_t1m, "slot_start", run_id)
+        # the in-memory clustered tier only covers the buckets stage 1
+        # computed; a partially-resumed run must fall back to disk
+        if clustered is not None and len(t1m_buckets) != self.n_buckets:
+            clustered.unpersist()
+            clustered = None
 
-        t1m = spark.read.parquet(self.tier_path("tier_1m"))
-        out = {"tier_1m": self.tier_path("tier_1m")}
+        def clustered_1m(buckets: list[int]) -> DataFrame:
+            nonlocal clustered
+            if clustered is None:
+                # resumed run: tier_1m already on disk; cluster it once
+                t1m = self.spark.read.parquet(self.tier_path("tier_1m"))
+                clustered = rollup.cluster_by_conv(
+                    t1m, self.range_partitions
+                ).persist()
+            return bucket_filter(clustered, buckets)
 
-        # ---- agg tiers: both in one grouped pass over the 1m tier ----
-        agg_buckets = (
-            self.store.plan_missing("agg", fp, self.n_buckets)
-            if resume
-            else list(range(self.n_buckets))
-        )
+        # ---- stage 2: both agg tiers in one pass (one action) ----
+        agg_buckets = plan("agg")
         if agg_buckets:
             agg = rollup.rollup_tiers(
-                bucket_filter(t1m, agg_buckets).repartitionByRange(
-                    self.range_partitions, "conv_id"
-                ),
-                tiers,
+                clustered_1m(agg_buckets), tiers, pre_clustered=True
             )
-            agg_path = self.tier_path("agg")
-            mf.write_tier(agg, agg_path, "window_start")
-            written = self.spark.read.parquet(agg_path).where(
-                F.col("bucket").isin(agg_buckets)
-            )
-            counts = {
-                r["bucket"]: r["cnt"]
-                for r in written.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
-            }
+            mf.write_tier(agg, self.tier_path("agg"), "window_start")
+            counts = mf.footer_counts(self.tier_path("agg"))
             self.store.commit(
                 [("agg", b, fp, counts.get(b, 0), run_id) for b in agg_buckets]
             )
         out["agg"] = self.tier_path("agg")
 
-        # ---- packed blocks ----
+        # ---- stage 3: packed blocks (one action) ----
         if with_pack:
-            pack_buckets = (
-                self.store.plan_missing("packed_1h", fp, self.n_buckets)
-                if resume
-                else list(range(self.n_buckets))
-            )
-
-            def build_pack(buckets: list[int]) -> DataFrame:
-                return rollup.pack_blocks(
-                    bucket_filter(t1m, buckets).repartitionByRange(
-                        self.range_partitions, "conv_id"
-                    )
+            pack_buckets = plan("packed_1h")
+            if pack_buckets:
+                pk = rollup.pack_blocks(
+                    clustered_1m(pack_buckets), pre_clustered=True
                 )
-
-            self._run_buckets(
-                "packed_1h", fp, pack_buckets, build_pack, "window_start", run_id
-            )
+                mf.write_tier(pk, self.tier_path("packed_1h"), "window_start")
+                counts = mf.footer_counts(self.tier_path("packed_1h"))
+                self.store.commit(
+                    [
+                        ("packed_1h", b, fp, counts.get(b, 0), run_id)
+                        for b in pack_buckets
+                    ]
+                )
             out["packed_1h"] = self.tier_path("packed_1h")
+
+        if clustered is not None:
+            clustered.unpersist()
         return out
 
     # -- readers ---------------------------------------------------------
 
     def read_tier(self, tier: str) -> DataFrame:
-        df = self.spark.read.parquet(self.tier_path(tier))
-        return df
+        return self.spark.read.parquet(self.tier_path(tier))
 
     def read_agg(self, tier: str) -> DataFrame:
         return self.read_tier("agg").where(F.col("tier") == tier)
