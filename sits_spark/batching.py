@@ -86,14 +86,22 @@ def schema_of(ddl: str) -> pa.Schema:
     return pa.schema(fields)
 
 
-def record_batch(data: dict[str, np.ndarray | list], schema: pa.Schema) -> pa.RecordBatch:
+def record_batch(
+    data: dict[str, np.ndarray | list], schema: pa.Schema, length: int | None = None
+) -> pa.RecordBatch:
     """Build a RecordBatch from numpy columns (zero-copy for numerics).
 
-    Timestamp columns are passed as int64 epoch MICROseconds."""
+    Timestamp columns are passed as int64 epoch MICROseconds. Schema
+    fields absent from ``data`` (or None) become all-null columns —
+    used by union-schema multi-output stages."""
     arrays = []
     for field in schema:
-        col = data[field.name]
-        if pa.types.is_timestamp(field.type):
+        col = data.get(field.name)
+        if col is None:
+            if length is None:
+                raise ValueError("length required for all-null columns")
+            arrays.append(pa.nulls(length, field.type))
+        elif pa.types.is_timestamp(field.type):
             arrays.append(pa.array(np.asarray(col, dtype=np.int64), type=field.type))
         else:
             arrays.append(pa.array(col, type=field.type))

@@ -178,6 +178,7 @@ def write_transcripts_parquet(
     seed: int = 42,
     hot_turns: int = 2000,
     chunk_convs: int = 20000,
+    turns_scale: int = 1,
 ) -> int:
     """Write the generated table to parquet in conv chunks (bench scale).
 
@@ -200,7 +201,9 @@ def write_transcripts_parquet(
         conv_ids = np.array(
             [f"conv-{i:08d}" for i in range(lo, hi)], dtype=object
         )
-        n_turns = np.clip(rng.zipf(1.3, hi - lo), 5, 200).astype(np.int64)
+        n_turns = (
+            np.clip(rng.zipf(1.3, hi - lo), 5, 200).astype(np.int64) * turns_scale
+        )
         df = _assemble(conv_ids, n_turns, rng, pool)
         if lo == 0:
             rng2 = np.random.default_rng([seed, 2**31])

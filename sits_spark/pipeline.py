@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import manifest as mf
-from .operators import regularize, rollup
+from .operators import fused, regularize, rollup
 
 
 class RollupPipeline:
@@ -83,8 +83,42 @@ class RollupPipeline:
 
         out: dict[str, str] = {}
 
-        # ---- stage 1: raw -> dense smoothed 1m tier (one action) ----
         t1m_buckets = plan("tier_1m")
+        agg_buckets = plan("agg")
+        pack_buckets = plan("packed_1h") if with_pack else t1m_buckets
+
+        def commit_tier(tier: str, path: str, buckets: list[int]) -> None:
+            counts = mf.footer_counts(path)
+            self.store.commit(
+                [(tier, b, fp, counts.get(b, 0), run_id) for b in buckets]
+            )
+
+        # ---- fused fast path: every pending stage needs the same conv
+        # buckets, so compute ALL tiers in one kernel pass over the data
+        # and derive each tier write by filter+projection from the cache
+        if (
+            t1m_buckets
+            and set(t1m_buckets) == set(agg_buckets)
+            and (not with_pack or set(pack_buckets) == set(t1m_buckets))
+        ):
+            observed = regularize.observed_slots(bucket_filter(raw, t1m_buckets))
+            f = fused.fused_tiers(observed, tiers, self.range_partitions).persist()
+            mf.write_tier(fused.slot_tier(f), self.tier_path("tier_1m"), "slot_start")
+            commit_tier("tier_1m", self.tier_path("tier_1m"), t1m_buckets)
+            mf.write_tier(fused.agg_tier(f), self.tier_path("agg"), "window_start")
+            commit_tier("agg", self.tier_path("agg"), agg_buckets)
+            out["tier_1m"] = self.tier_path("tier_1m")
+            out["agg"] = self.tier_path("agg")
+            if with_pack:
+                mf.write_tier(
+                    fused.pack_tier(f), self.tier_path("packed_1h"), "window_start"
+                )
+                commit_tier("packed_1h", self.tier_path("packed_1h"), pack_buckets)
+                out["packed_1h"] = self.tier_path("packed_1h")
+            f.unpersist()
+            return out
+
+        # ---- staged path (partial resume): recompute only missing stages
         clustered: DataFrame | None = None
         if t1m_buckets:
             t1m = regularize.tier_1m(
@@ -115,7 +149,6 @@ class RollupPipeline:
             return bucket_filter(clustered, buckets)
 
         # ---- stage 2: both agg tiers in one pass (one action) ----
-        agg_buckets = plan("agg")
         if agg_buckets:
             agg = rollup.rollup_tiers(
                 clustered_1m(agg_buckets), tiers, pre_clustered=True
@@ -129,7 +162,6 @@ class RollupPipeline:
 
         # ---- stage 3: packed blocks (one action) ----
         if with_pack:
-            pack_buckets = plan("packed_1h")
             if pack_buckets:
                 pk = rollup.pack_blocks(
                     clustered_1m(pack_buckets), pre_clustered=True

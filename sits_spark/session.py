@@ -14,11 +14,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _tune_malloc() -> None:
+    """Keep glibc from returning pages to the OS.
+
+    This VM's host reclaims freed guest pages (balloon/free-page
+    reporting), so re-faulting a released page costs ~1 ms/MB — fresh
+    numpy buffers in the Arrow workers would run 100x slower than warm
+    ones, with huge run-to-run variance. Raising the mmap/trim thresholds
+    makes glibc serve large buffers from a reused (warm) arena. Set in
+    the driver environment BEFORE the JVM starts so pyspark.daemon and
+    every forked worker inherit it."""
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 * 1024 * 1024))
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "sits-spark",
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    _tune_malloc()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")

@@ -124,16 +124,19 @@ def test_resume_after_kill_is_byte_identical(
     wh = str(tmp_path_factory.mktemp("wh2") / "tiers")
     pipe = RollupPipeline(spark, wh)
 
-    # kill the job after the 1m tier commits (FIXTURES.md §3.9)
-    real = rollup.rollup_tiers
+    # kill the job after the 1m tier commits (FIXTURES.md §3.9) — on the
+    # fused fast path the first seam after the tier_1m commit is agg_tier
+    from sits_spark.operators import fused
+
+    real = fused.agg_tier
 
     def boom(*a, **k):
         raise RuntimeError("injected kill after tier_1m")
 
-    monkeypatch.setattr(rollup, "rollup_tiers", boom)
+    monkeypatch.setattr(fused, "agg_tier", boom)
     with pytest.raises(RuntimeError, match="injected kill"):
         pipe.run(input_path, run_id="run-1")
-    monkeypatch.setattr(rollup, "rollup_tiers", real)
+    monkeypatch.setattr(fused, "agg_tier", real)
 
     # resume: tier_1m buckets must be skipped (manifest rows keep run-1)
     pipe2 = RollupPipeline(spark, wh)
