@@ -26,21 +26,29 @@ __all__ = ["encode_ts_d2", "decode_ts_d2", "encode_xor", "decode_xor"]
 
 
 class _BitWriter:
-    __slots__ = ("acc", "nbits")
+    """Big-endian bit writer with incremental byte flush (keeps the
+    accumulator small — a single growing int would make long blocks
+    quadratic in Python)."""
+
+    __slots__ = ("buf", "acc", "nbits")
 
     def __init__(self) -> None:
+        self.buf = bytearray()
         self.acc = 0
         self.nbits = 0
 
     def write(self, value: int, width: int) -> None:
         self.acc = (self.acc << width) | (value & ((1 << width) - 1))
         self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
 
     def bytes(self) -> bytes:
-        pad = (-self.nbits) % 8
-        total = self.nbits + pad
-        acc = self.acc << pad
-        return acc.to_bytes(total // 8, "big") if total else b""
+        if self.nbits:
+            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.buf)
 
 
 class _BitReader:

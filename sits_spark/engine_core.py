@@ -130,6 +130,48 @@ def band_pipeline(alen: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     return filled, sg, whit
 
 
+def band_pipeline_rows(
+    alen_rows: list[np.ndarray],
+) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
+    """Gap-fill + SG + Whittaker + flags over a RAGGED batch of series
+    (one per conv), bit-identical per row to band_pipeline on (1, T).
+
+    Linear fill and flags run per row (np.interp is C-speed); SG batches
+    equal-length rows (elementwise kernels); Whittaker runs the ragged
+    prefix solver (kernels.smooth_whit_ragged) over the whole batch at
+    once — the sequential time loops dominate everything else, so this is
+    where batching pays.
+
+    Returns (filled_rows, sg_rows, whit_rows, flag_rows) in input order.
+    """
+    n = len(alen_rows)
+    lengths = np.array([len(r) for r in alen_rows], dtype=np.int64)
+    filled_rows: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+    flag_rows: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+    sg_rows: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+    by_len: dict[int, list[int]] = {}
+    for i, r in enumerate(alen_rows):
+        mtx = r.reshape(1, -1)
+        filled_rows[i] = kernels.linear_interp_mtx(mtx)[0]
+        flag_rows[i] = fill_flags_mtx(mtx)[0]
+        by_len.setdefault(len(r), []).append(i)
+    for t, idxs in by_len.items():
+        block = np.vstack([filled_rows[i] for i in idxs])
+        sg = kernels.smooth_sg_mtx(block, order=SG_ORDER, length=SG_LENGTH)
+        for row, i in enumerate(idxs):
+            sg_rows[i] = sg[row]
+    order = np.argsort(-lengths, kind="stable")
+    flat = np.concatenate([filled_rows[i] for i in order])
+    sorted_lens = lengths[order]
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(sorted_lens[:-1], out=offsets[1:])
+    whit_flat = kernels.smooth_whit_ragged(flat, offsets, sorted_lens, WHIT_LAMBDA)
+    whit_rows: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+    for pos, i in enumerate(order):
+        whit_rows[i] = whit_flat[offsets[pos] : offsets[pos] + sorted_lens[pos]]
+    return filled_rows, sg_rows, whit_rows, flag_rows
+
+
 def observed_to_grid(
     slot_s: np.ndarray,
     n_turns: np.ndarray,
@@ -155,14 +197,34 @@ def observed_to_grid(
     return grid
 
 
+def _window_stats_block(seg: np.ndarray) -> tuple[np.ndarray, ...]:
+    """(mean, min, max, median, std) row-wise for equal-length windows
+    stacked as (nw, W). NaN windows (all-empty convs) yield NaN; W == 1
+    yields NaN std (sample std undefined)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = kernels.temp_mean(seg)
+        mn = kernels.temp_min(seg)
+        mx = kernels.temp_max(seg)
+        med = kernels.temp_median(seg)
+        if seg.shape[1] > 1:
+            std = kernels.temp_std(seg)
+        else:
+            std = np.full(seg.shape[0], np.nan)
+    return mean, mn, mx, med, std
+
+
 def rollup_conv(grid: dict[str, np.ndarray], tier_seconds: int) -> dict[str, np.ndarray]:
     """Aggregate ONE conv's full 1m grid into tier windows (canonical slot
     order within each window). Integer metrics are exact sums; float stats
     come from the temporal-reduce kernels
-    (/root/reference/src/reduce_fns.cpp:12-92 subset)."""
+    (/root/reference/src/reduce_fns.cpp:12-92 subset).
+
+    The minute grid is dense and regular, so every window except the first
+    and last is exactly ``tier_seconds/60`` slots — the interior windows
+    reshape into one (nw, W) matrix and the stat kernels vectorize across
+    windows (bit-identical per row to one-window calls)."""
     slots = grid["slot_start_s"]
     win = (slots // tier_seconds) * tier_seconds
-    # contiguous windows: slots are a regular ascending grid
     w_starts, w_first = np.unique(win, return_index=True)
     bounds = np.append(w_first, len(slots))
     nw = len(w_starts)
@@ -184,24 +246,33 @@ def rollup_conv(grid: dict[str, np.ndarray], tier_seconds: int) -> dict[str, np.
         "turn_rate": n_turns.astype(np.float64) / n_slots,
         "tool_call_rate": tool_calls.astype(np.float64) / n_slots,
     }
-    mean = np.empty(nw)
-    mn = np.empty(nw)
-    mx = np.empty(nw)
-    med = np.empty(nw)
-    std = np.empty(nw)
     vals = grid["alen_whit"]
-    for i in range(nw):
-        seg = vals[bounds[i] : bounds[i + 1]].reshape(1, -1)
-        if np.isnan(seg).any():
-            mean[i] = mn[i] = mx[i] = med[i] = std[i] = np.nan
-            continue
-        mean[i] = kernels.temp_mean(seg)[0]
-        mn[i] = kernels.temp_min(seg)[0]
-        mx[i] = kernels.temp_max(seg)[0]
-        med[i] = kernels.temp_median(seg)[0]
-        std[i] = kernels.temp_std(seg)[0] if seg.shape[1] > 1 else np.nan
+    W = tier_seconds // 60
+    stats = [np.empty(nw) for _ in range(5)]
+
+    def fill(i0: int, i1: int, block: np.ndarray) -> None:
+        res = _window_stats_block(block)
+        for s, r in zip(stats, res):
+            s[i0:i1] = r
+
+    # first (possibly partial) window
+    fill(0, 1, vals[: bounds[1]].reshape(1, -1))
+    if nw > 1:
+        # interior full windows, vectorized across windows
+        n_mid = nw - 2
+        if n_mid > 0:
+            mid = vals[bounds[1] : bounds[1] + n_mid * W].reshape(n_mid, W)
+            fill(1, nw - 1, mid)
+        # last (possibly partial) window
+        fill(nw - 1, nw, vals[bounds[nw - 1] :].reshape(1, -1))
     out.update(
-        {"alen_mean": mean, "alen_min": mn, "alen_max": mx, "alen_median": med, "alen_std": std}
+        {
+            "alen_mean": stats[0],
+            "alen_min": stats[1],
+            "alen_max": stats[2],
+            "alen_median": stats[3],
+            "alen_std": stats[4],
+        }
     )
     return out
 

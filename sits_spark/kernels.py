@@ -213,6 +213,134 @@ def smooth_whit_mtx(data: np.ndarray, lamb: float = 0.5) -> np.ndarray:
     return z
 
 
+_WHIT_SHARED_CACHE: dict[float, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def _whit_shared(max_t: int, lamb: float) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shared (length-independent) forward-elimination coefficient
+    sequences d, c, e.
+
+    For any series length T, the reference's per-length factorization
+    (/root/reference/src/smooth_whit.cpp:34-50, mirrored in _whit_factor)
+    equals this sequence for positions 0..T-3; only the last two positions
+    have boundary formulas. Computing it once lets the ragged solver share
+    one coefficient table across every series in a batch, bit-exactly."""
+    lamb = float(lamb)
+    cached = _WHIT_SHARED_CACHE.get(lamb)
+    if cached is not None and len(cached[0]) >= max_t:
+        return cached
+    n = max(max_t, 64)
+    d = np.empty(n)
+    c = np.empty(n)
+    e = np.empty(n)
+    d[0] = 1.0 + lamb
+    c[0] = -2.0 * lamb / d[0]
+    e[0] = lamb / d[0]
+    d[1] = 1.0 + 5.0 * lamb - d[0] * c[0] * c[0]
+    c[1] = (-4.0 * lamb - d[0] * c[0] * e[0]) / d[1]
+    e[1] = lamb / d[1]
+    dd, cc, ee = d, c, e
+    for i in range(2, n):
+        dd[i] = 1.0 + 6.0 * lamb - cc[i - 1] * cc[i - 1] * dd[i - 1] - ee[i - 2] * ee[i - 2] * dd[i - 2]
+        cc[i] = (-4.0 * lamb - dd[i - 1] * cc[i - 1] * ee[i - 1]) / dd[i]
+        ee[i] = lamb / dd[i]
+    _WHIT_SHARED_CACHE[lamb] = (d, c, e)
+    return d, c, e
+
+
+def smooth_whit_ragged(
+    flat: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, lamb: float = 0.5
+) -> np.ndarray:
+    """Whittaker smoothing over a RAGGED batch of series, bit-identical per
+    row to smooth_whit_mtx on each series alone.
+
+    ``flat`` is the row-major concatenation of the series; ``offsets`` are
+    row starts; rows must be sorted by length DESCENDING. The sequential
+    time recurrences run once over step index i with the active rows as a
+    shrinking prefix (gather/scatter on the flat array), so cost is
+    O(total points) with ~6 numpy calls per step instead of per series.
+    When fewer than a handful of rows remain active (one giant series'
+    tail), the loop switches to plain-python float math — same IEEE ops,
+    ~10x faster than numpy scalars.
+
+    Series shorter than 4 points pass through unchanged (suffix of the
+    sorted batch)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    out = flat.astype(np.float64, copy=True)
+    b4 = int(np.searchsorted(-lengths, -4, side="right"))  # rows with T >= 4
+    if b4 == 0:
+        return out
+    max_t = int(lengths[0])
+    d, c, e = _whit_shared(max_t, lamb)
+    lens4 = lengths[:b4]
+    offs4 = offsets[:b4]
+    z = out  # in-place
+
+    # active-count per step: rows with T >= min_len (sorted descending)
+    def k_at(min_len: int) -> int:
+        return int(np.searchsorted(-lens4, -min_len, side="right"))
+
+    # Steps deeper than the (CUTOFF+1)-th longest row are walked by at
+    # most CUTOFF rows; handle those in plain-python float math (identical
+    # IEEE ops, ~10x faster than numpy scalars) and vectorize the rest.
+    CUTOFF = 4
+    i_star = int(lens4[CUTOFF]) - 3 if b4 > CUTOFF else 1
+    n_long = k_at(i_star + 3 + 1)  # rows with interior beyond i_star
+
+    # ---- forward: z[0]=x[0]; z[1]=x[1]-c[0]z[0];
+    # interior z[i] = x[i] - c[i-1] z[i-1] - e[i-2] z[i-2] for i in [2, T-3]
+    idx1 = offs4 + 1
+    z[idx1] = z[idx1] - c[0] * z[idx1 - 1]
+    for i in range(2, min(i_star, max_t - 3) + 1):
+        k = k_at(i + 3)
+        if k == 0:
+            break
+        idx = offs4[:k] + i
+        z[idx] = z[idx] - c[i - 1] * z[idx - 1] - e[i - 2] * z[idx - 2]
+    if n_long:
+        cl = c.tolist()
+        el = e.tolist()
+        for r in range(n_long):
+            off = int(offs4[r])
+            tl = int(lens4[r])
+            zl = z[off : off + tl].tolist()
+            for j in range(max(2, i_star + 1), tl - 2):
+                zl[j] = zl[j] - cl[j - 1] * zl[j - 1] - el[j - 2] * zl[j - 2]
+            z[off : off + tl] = zl
+
+    # ---- per-length boundary positions T-2, T-1 (vectorized per batch)
+    t3 = lens4 - 3
+    t4 = lens4 - 4
+    dB1 = 1.0 + 5.0 * lamb - c[t3] * c[t3] * d[t3] - e[t4] * e[t4] * d[t4]
+    cB = (-2.0 * lamb - d[t3] * c[t3] * e[t3]) / dB1
+    dB2 = 1.0 + lamb - cB * cB * dB1 - e[t3] * e[t3] * d[t3]
+    p2 = offs4 + lens4 - 2
+    p1 = offs4 + lens4 - 1
+    z[p2] = z[p2] - c[t3] * z[p2 - 1] - e[t4] * z[p2 - 2]
+    z[p1] = (z[p1] - cB * z[p2] - e[t3] * z[p2 - 1]) / dB2
+    # ---- backward: seed position T-2, then i = T-3 .. 0
+    z[p2] = z[p2] / dB1 - cB * z[p1]
+    if n_long:
+        dl = d.tolist()
+        cl = c.tolist()
+        el = e.tolist()
+        for r in range(n_long):
+            off = int(offs4[r])
+            tl = int(lens4[r])
+            zl = z[off : off + tl].tolist()
+            for j in range(tl - 3, i_star, -1):
+                zl[j] = zl[j] / dl[j] - cl[j] * zl[j + 1] - el[j] * zl[j + 2]
+            z[off : off + tl] = zl
+    for i in range(min(i_star, max_t - 3), -1, -1):
+        k = k_at(i + 3)
+        if k == 0:
+            continue
+        idx = offs4[:k] + i
+        z[idx] = z[idx] / d[i] - c[i] * z[idx + 1] - e[i] * z[idx + 2]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Gap fill: linear interior + edge fill (backfill leading, LOCF trailing)
 # ---------------------------------------------------------------------------

@@ -55,25 +55,23 @@ def _fused_iter(tiers: tuple[str, ...]):
             starts, bounds = conv_bounds(cid)
             n_convs = len(starts)
 
-            # --- grids + band pipeline (batched by grid length) ---
+            # --- grids + ragged band pipeline over the whole batch ---
             grids: list[dict[str, np.ndarray]] = []
-            by_len: dict[int, list[int]] = {}
             for i in range(n_convs):
                 sl = slice(bounds[i], bounds[i + 1])
-                g = engine_core.scatter_grid(
-                    slot[sl], *[tbl[c][sl] for c in _OBS_COLS]
+                grids.append(
+                    engine_core.scatter_grid(
+                        slot[sl], *[tbl[c][sl] for c in _OBS_COLS]
+                    )
                 )
-                grids.append(g)
-                by_len.setdefault(len(g["slot_start_s"]), []).append(i)
-            for t, idxs in by_len.items():
-                mtx = np.vstack([grids[i]["alen"] for i in idxs])
-                filled, sg, whit = engine_core.band_pipeline(mtx)
-                flags = engine_core.fill_flags_mtx(mtx)
-                for row, i in enumerate(idxs):
-                    grids[i]["fill_flag"] = flags[row]
-                    grids[i]["alen_filled"] = filled[row]
-                    grids[i]["alen_sg"] = sg[row]
-                    grids[i]["alen_whit"] = whit[row]
+            filled, sg, whit, flags = engine_core.band_pipeline_rows(
+                [g["alen"] for g in grids]
+            )
+            for i in range(n_convs):
+                grids[i]["fill_flag"] = flags[i]
+                grids[i]["alen_filled"] = filled[i]
+                grids[i]["alen_sg"] = sg[i]
+                grids[i]["alen_whit"] = whit[i]
 
             # --- slot rows ---
             lens = np.array([len(g["slot_start_s"]) for g in grids], dtype=np.int64)

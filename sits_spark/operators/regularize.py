@@ -92,20 +92,15 @@ def _grids_of_batch(tbl: dict[str, np.ndarray]) -> pa.RecordBatch:
     n_convs = len(starts)
 
     grids: list[dict[str, np.ndarray]] = []
-    by_len: dict[int, list[int]] = {}
     for i in range(n_convs):
         sl = slice(bounds[i], bounds[i + 1])
-        g = engine_core.scatter_grid(slot[sl], *[tbl[c][sl] for c in _OBS_COLS])
-        grids.append(g)
-        by_len.setdefault(len(g["slot_start_s"]), []).append(i)
-
-    band: dict[int, tuple] = {}
-    for t, idxs in by_len.items():
-        mtx = np.vstack([grids[i]["alen"] for i in idxs])
-        filled, sg, whit = engine_core.band_pipeline(mtx)
-        flags = engine_core.fill_flags_mtx(mtx)
-        for row, i in enumerate(idxs):
-            band[i] = (flags[row], filled[row], sg[row], whit[row])
+        grids.append(
+            engine_core.scatter_grid(slot[sl], *[tbl[c][sl] for c in _OBS_COLS])
+        )
+    filled, sg, whit, flags = engine_core.band_pipeline_rows(
+        [g["alen"] for g in grids]
+    )
+    band = {i: (flags[i], filled[i], sg[i], whit[i]) for i in range(n_convs)}
 
     lens = np.array([len(g["slot_start_s"]) for g in grids], dtype=np.int64)
     data: dict[str, np.ndarray] = {

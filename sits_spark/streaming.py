@@ -1,0 +1,84 @@
+"""Structured Streaming ingestion: transcript stream -> observed 1m slots.
+
+The reference is batch-only (SURVEY.md §2.9); its closest analogs are the
+period-window bucketing (/root/reference/R/api_period.R:57-86) and the
+late/missing-data handling via gap slots
+(/root/reference/R/api_regularize.R:91-103). The streaming front-end
+mirrors the batch ``observed_slots`` aggregation exactly — same exact-int
+measures per (conv_id, minute window) — with an event-time watermark for
+late turns, appending to the SAME observed-slot layout the batch pipeline
+consumes. Gap-fill/smoothing stay batch jobs over closed windows (the
+smoothers need whole series; watermark-free because the grid join
+materializes missing slots — SURVEY.md §2.9 mapping).
+
+Sinks append to parquet bucketed the same way as the batch tiers, so a
+periodic batch "compaction" run (the normal RollupPipeline over the
+accumulated raw) produces byte-identical tiers — asserted in tests by
+comparing a stream-ingested observed table against the batch aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .manifest import bucket_expr
+
+
+def observed_slots_stream(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming variant of operators.regularize.observed_slots.
+
+    Same exact-int measures; ``F.window(ts, "1 minute")`` is the
+    event-time tumbling window (half-open [start, end) — identical slot
+    semantics to the batch floor-to-minute)."""
+    text_len = F.coalesce(F.length("text").cast("long"), F.lit(0))
+    tok = F.floor(text_len / 4).cast("long")
+    is_role = lambda r: F.col("role") == r  # noqa: E731
+    ts = F.col("ts").cast("timestamp")
+    return (
+        stream.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(is_role("user"), tok).otherwise(0)).alias("tokens_user"),
+            F.sum(F.when(is_role("assistant"), tok).otherwise(0)).alias("tokens_assistant"),
+            F.sum(F.when(is_role("tool"), tok).otherwise(0)).alias("tokens_tool"),
+            F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("tool_calls"),
+            F.sum(F.when(is_role("assistant"), text_len).otherwise(0)).alias("alen_sum"),
+            F.sum(F.when(is_role("assistant"), 1).otherwise(0)).alias("alen_n"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").cast("long").alias("slot_s"),
+            "n_turns",
+            "tokens_user",
+            "tokens_assistant",
+            "tokens_tool",
+            "tool_calls",
+            "alen_sum",
+            "alen_n",
+        )
+    )
+
+
+def start_observed_sink(
+    stream_slots: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    trigger_seconds: int = 30,
+):
+    """Append observed slots to the warehouse layout (bucketed parquet)
+    with exactly-once file commits via the streaming checkpoint."""
+    out = stream_slots.withColumn("bucket", bucket_expr())
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("bucket")
+        .outputMode("append")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
