@@ -68,10 +68,15 @@ def ensure_bench_data() -> str:
 
 
 def pipeline_worker(cpus: int, input_dir: str) -> None:
+    # Commit + pre-fault the JVM heap at startup (outside the measured
+    # window, like a production executor launch): on this host fresh-page
+    # faults are globally serialized, so lazy heap growth otherwise shows
+    # up as a serial fraction in the scaling curve. See session.py.
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    from sits_spark.manifest import footer_counts
     from sits_spark.pipeline import RollupPipeline
     from sits_spark.session import get_spark
-
-    from sits_spark.manifest import footer_counts
 
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 16))
     # tmpfs warehouse: keeps the measurement about the engine, not virtio
@@ -89,7 +94,7 @@ def pipeline_worker(cpus: int, input_dir: str) -> None:
         pipe.run(input_dir, run_id=f"bench-{cpus}", resume=False)
         points = 0
         for tier in ("tier_1m", "agg", "packed_1h"):
-            points += sum(footer_counts(os.path.join(wh, tier)).values())
+            points += sum(footer_counts(pipe.tier_path(tier)).values())
         elapsed = time.time() - t0
         print(json.dumps({"elapsed": elapsed, "points": points, "turns": turns}))
     finally:

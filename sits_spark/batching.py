@@ -51,7 +51,10 @@ def arrow_conv_batches(
         if n_rows == 0:
             continue
         keys = tbl[key]
-        cut = int(np.searchsorted(keys, keys[-1], side="left"))
+        # hold back the trailing key RUN (keys are run-contiguous but not
+        # necessarily globally sorted — e.g. sorted by (bucket, conv_id))
+        neq = keys != keys[-1]
+        cut = int(neq.nonzero()[0][-1]) + 1 if neq.any() else 0
         buf = {n: v[cut:] for n, v in tbl.items()}
         if cut:
             yield {n: v[:cut] for n, v in tbl.items()}
@@ -74,6 +77,7 @@ _PA_TYPES = {
     "int": pa.int32(),
     "double": pa.float64(),
     "binary": pa.binary(),
+    "date": pa.date32(),
 }
 
 

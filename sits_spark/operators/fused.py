@@ -38,7 +38,8 @@ FUSED_SCHEMA = (
     "tier string, window_start timestamp, n_slots long, "
     "turn_rate double, tool_call_rate double, alen_mean double, "
     "alen_min double, alen_max double, alen_median double, alen_std double, "
-    "n int, first_ts long, first_val double, ts_d2 binary, vals_gorilla binary"
+    "n int, first_ts long, first_val double, ts_d2 binary, vals_gorilla binary, "
+    "bucket int, day date"
 )
 _FUSED_PA = schema_of(FUSED_SCHEMA)
 
@@ -47,11 +48,12 @@ ROLLUP_COLS = [f.split(" ")[0] for f in ROLLUP_SCHEMA.split(", ")]
 PACK_COLS = [f.split(" ")[0] for f in PACK_SCHEMA.split(", ")]
 
 
-def _fused_iter(tiers: tuple[str, ...]):
+def _fused_iter(tiers: tuple[str, ...], with_pack: bool = True):
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for tbl in arrow_conv_batches(it):
             cid = tbl["conv_id"]
             slot = tbl["slot_s"]
+            bkt = tbl["bucket"]
             starts, bounds = conv_bounds(cid)
             n_convs = len(starts)
 
@@ -76,10 +78,13 @@ def _fused_iter(tiers: tuple[str, ...]):
             # --- slot rows ---
             lens = np.array([len(g["slot_start_s"]) for g in grids], dtype=np.int64)
             n_slot_rows = int(lens.sum())
+            slot_s_all = np.concatenate([g["slot_start_s"] for g in grids])
             slot_data: dict[str, np.ndarray] = {
                 "row_kind": np.full(n_slot_rows, "slot", dtype=object),
                 "conv_id": np.repeat(cid[starts], lens),
-                "slot_start": np.concatenate([g["slot_start_s"] for g in grids]) * 1_000_000,
+                "slot_start": slot_s_all * 1_000_000,
+                "bucket": np.repeat(bkt[starts], lens),
+                "day": (slot_s_all // 86400).astype(np.int32),
             }
             for k in _INT_COLS:
                 slot_data[k] = np.concatenate([g[k] for g in grids])
@@ -92,9 +97,11 @@ def _fused_iter(tiers: tuple[str, ...]):
                 k: [] for k in engine_core.ROLLUP_COLS
             }
             agg_conv: list = []
+            agg_bkt: list[int] = []
             agg_tier: list[str] = []
             agg_len: list[int] = []
             pk_conv: list = []
+            pk_bkt: list[int] = []
             pk_rows: list[tuple] = []
             for i in range(n_convs):
                 g = grids[i]
@@ -111,37 +118,47 @@ def _fused_iter(tiers: tuple[str, ...]):
                     for k in engine_core.ROLLUP_COLS:
                         agg_out[k].append(res[k])
                     agg_conv.append(cid[starts[i]])
+                    agg_bkt.append(bkt[starts[i]])
                     agg_tier.append(tier)
                     agg_len.append(len(res["window_start_s"]))
-                for r in engine_core.pack_conv(conv_grid, 3600):
-                    pk_conv.append(cid[starts[i]])
-                    pk_rows.append(r)
+                if with_pack:
+                    for r in engine_core.pack_conv(conv_grid, 3600):
+                        pk_conv.append(cid[starts[i]])
+                        pk_bkt.append(bkt[starts[i]])
+                        pk_rows.append(r)
 
             alens = np.array(agg_len, dtype=np.int64)
             n_agg = int(alens.sum())
+            agg_win = np.concatenate(agg_out["window_start_s"])
             agg_data = {
                 "row_kind": np.full(n_agg, "agg", dtype=object),
                 "conv_id": np.repeat(np.array(agg_conv, dtype=object), alens),
+                "bucket": np.repeat(np.array(agg_bkt, dtype=np.int32), alens),
                 "tier": np.repeat(np.array(agg_tier, dtype=object), alens),
-                "window_start": np.concatenate(agg_out["window_start_s"]) * 1_000_000,
+                "window_start": agg_win * 1_000_000,
+                "day": (agg_win // 86400).astype(np.int32),
             }
             for k in engine_core.ROLLUP_COLS:
                 if k != "window_start_s":
                     agg_data[k] = np.concatenate(agg_out[k])
             yield record_batch(agg_data, _FUSED_PA, n_agg)
 
-            n_pk = len(pk_rows)
-            pack_data = {
-                "row_kind": np.full(n_pk, "pack", dtype=object),
-                "conv_id": pk_conv,
-                "window_start": np.array([r[0] for r in pk_rows], dtype=np.int64) * 1_000_000,
-                "n": np.array([r[1] for r in pk_rows], dtype=np.int32),
-                "first_ts": np.array([r[2] for r in pk_rows], dtype=np.int64),
-                "first_val": np.array([r[3] for r in pk_rows], dtype=np.float64),
-                "ts_d2": [r[4] for r in pk_rows],
-                "vals_gorilla": [r[5] for r in pk_rows],
-            }
-            yield record_batch(pack_data, _FUSED_PA, n_pk)
+            if with_pack:
+                n_pk = len(pk_rows)
+                pk_win = np.array([r[0] for r in pk_rows], dtype=np.int64)
+                pack_data = {
+                    "row_kind": np.full(n_pk, "pack", dtype=object),
+                    "conv_id": pk_conv,
+                    "bucket": np.array(pk_bkt, dtype=np.int32),
+                    "window_start": pk_win * 1_000_000,
+                    "day": (pk_win // 86400).astype(np.int32),
+                    "n": np.array([r[1] for r in pk_rows], dtype=np.int32),
+                    "first_ts": np.array([r[2] for r in pk_rows], dtype=np.int64),
+                    "first_val": np.array([r[3] for r in pk_rows], dtype=np.float64),
+                    "ts_d2": [r[4] for r in pk_rows],
+                    "vals_gorilla": [r[5] for r in pk_rows],
+                }
+                yield record_batch(pack_data, _FUSED_PA, n_pk)
 
     return fn
 
@@ -150,15 +167,26 @@ def fused_tiers(
     observed: DataFrame,
     tiers: tuple[str, ...] = ("1h", "1d"),
     partitions: int | None = None,
+    with_pack: bool = True,
 ) -> DataFrame:
-    """Observed 1-minute slots -> union-schema stream of all tiers."""
+    """Observed 1-minute slots -> union-schema stream of all tiers.
+
+    Clusters by (bucket, conv_id) ranges — a conversation stays whole
+    inside one task, and each task's output lands in at most a couple of
+    bucket directories, so the downstream partitioned write needs NO
+    repartition exchange (the kernel emits the write's partition columns
+    ``bucket``/``day`` directly)."""
+    from .. import manifest as mf
+
     n = partitions or int(
         observed.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    clustered = observed.repartitionByRange(n, "conv_id").sortWithinPartitions(
-        "conv_id", "slot_s"
+    clustered = (
+        observed.withColumn("bucket", mf.bucket_expr())
+        .repartitionByRange(n, "bucket", "conv_id")
+        .sortWithinPartitions("bucket", "conv_id", "slot_s")
     )
-    return clustered.mapInArrow(_fused_iter(tiers), FUSED_SCHEMA)
+    return clustered.mapInArrow(_fused_iter(tiers, with_pack), FUSED_SCHEMA)
 
 
 def slot_tier(fused: DataFrame) -> DataFrame:

@@ -7,31 +7,61 @@ aggregation, Arrow-batched kernels handle the per-series math, manifests
 handle resume, and tier outputs land partitioned by
 (bucket(conv_id), day) — the parquet-compatible Iceberg layout.
 
-Job budget per run — exactly THREE Spark actions:
-  1. tier_1m write: scan -> slot agg (1 exchange, map-side partial) ->
-     range-partition+sort by conv (1 exchange) -> grid/fill/smooth
-     (mapInArrow) -> persist -> (bucket, day) exchange -> parquet
-  2. agg write:  cached clustered 1m tier -> rollup mapInArrow (both
-     tiers, zero new shuffles before the write exchange)
-  3. pack write: cached clustered 1m tier -> Gorilla mapInArrow
-Row counts come from parquet footers and manifest commits go through
-pyarrow — all driver-side metadata, zero extra Spark jobs; each stage
-commits its manifest rows as soon as its write lands (per-stage
-checkpointing, so a kill between stages resumes exactly there). Hot-conversation
-skew is pre-reduced by the slot aggregation; the integer re-aggregation
-path additionally has the salted two-phase variant
-(operators.rollup.rollup_sums_catalyst).
+Physical plan — ONE action per checkpoint group:
+
+  scan -> slot agg (map-side partial, 1 exchange) ->
+  range-partition by (bucket, conv_id) + sort (1 exchange) ->
+  grid/fill/smooth/rollup/pack fused mapInArrow ->
+  partitioned write (row_kind, bucket, day)
+
+The fused kernel emits every tier as a UNION-schema stream tagged with
+``row_kind`` AND emits the write's partition columns directly, so the
+write needs no repartition exchange and no ``persist`` — the whole
+pipeline moves each byte exactly once. (The previous design persisted the
+union and ran three write actions, i.e. one cache materialization plus
+three full write shuffles; on hosts where fresh-page allocation is a
+serialized resource that serial byte traffic dominated the scaling curve.)
+
+All three tiers live in one partitioned table::
+
+    <warehouse>/tiers/row_kind={slot|agg|pack}/bucket=N/day=YYYY-MM-DD/
+
+Readers prune by row_kind (partition pruning) and project each tier's
+column set; absent columns in a row_kind are parquet nulls (RLE'd to
+~nothing on disk).
+
+Resume: each group's write commits one manifest row per (tier, bucket).
+A restarted run anti-joins planned buckets against committed rows (the
+reference's skip-existing-tiles recovery, /root/reference/R/api_gdalcubes.R:713-760)
+and recomputes only the missing buckets. ``checkpoint_groups`` > 1 splits
+a fresh run into that many sequential write actions so a mid-run kill
+loses only the in-flight group; each extra group re-scans the raw input
+(with Iceberg bucket pruning the re-scan is bucket-local; on plain parquet
+it is a full scan, so throughput benchmarks use one group).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import manifest as mf
-from .operators import fused, regularize, rollup
+from .operators import fused, regularize
+
+TIER_DIRS = {
+    "tier_1m": "row_kind=slot",
+    "agg": "row_kind=agg",
+    "packed_1h": "row_kind=pack",
+}
+
+TIER_COLS = {
+    "tier_1m": fused.TIER_1M_COLS,
+    "agg": fused.ROLLUP_COLS,
+    "packed_1h": fused.PACK_COLS,
+}
 
 
 class RollupPipeline:
@@ -48,10 +78,23 @@ class RollupPipeline:
         self.range_partitions = range_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
+        self.table_path = os.path.join(warehouse, "tiers")
         self.store = mf.ManifestStore(spark, warehouse)
 
     def tier_path(self, tier: str) -> str:
-        return os.path.join(self.warehouse, tier)
+        return os.path.join(self.table_path, TIER_DIRS[tier])
+
+    def _drop_bucket_dirs(self, buckets: list[int]) -> None:
+        """Remove a recomputed bucket's directories across all row_kinds
+        BEFORE rewriting it: dynamic partition overwrite only replaces the
+        (bucket, day) partitions the new write touches, so a prior
+        generation covering more days would otherwise leave stale day=
+        directories behind (mixed-generation reads)."""
+        for rk in TIER_DIRS.values():
+            for b in buckets:
+                d = os.path.join(self.table_path, rk, f"bucket={b}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
 
     def run(
         self,
@@ -60,6 +103,7 @@ class RollupPipeline:
         resume: bool = True,
         tiers: tuple[str, ...] = ("1h", "1d"),
         with_pack: bool = True,
+        checkpoint_groups: int = 1,
     ) -> dict[str, str]:
         """Run (or resume) the full pipeline over a transcript table on disk.
 
@@ -70,120 +114,55 @@ class RollupPipeline:
         """
         fp = mf.input_fingerprint(input_path)
         raw = self.spark.read.parquet(input_path)
+        tier_names = ["tier_1m", "agg"] + (["packed_1h"] if with_pack else [])
+        out = {t: self.tier_path(t) for t in tier_names}
 
-        def plan(tier: str) -> list[int]:
-            if not resume:
-                return list(range(self.n_buckets))
-            return self.store.plan_missing(tier, fp, self.n_buckets)
-
-        def bucket_filter(df: DataFrame, buckets: list[int]) -> DataFrame:
-            if len(buckets) == self.n_buckets:
-                return df
-            return df.where(mf.bucket_expr().isin(buckets))
-
-        out: dict[str, str] = {}
-
-        t1m_buckets = plan("tier_1m")
-        agg_buckets = plan("agg")
-        pack_buckets = plan("packed_1h") if with_pack else t1m_buckets
-
-        def commit_tier(tier: str, path: str, buckets: list[int]) -> None:
-            counts = mf.footer_counts(path)
-            self.store.commit(
-                [(tier, b, fp, counts.get(b, 0), run_id) for b in buckets]
-            )
-
-        # ---- fused fast path: every pending stage needs the same conv
-        # buckets, so compute ALL tiers in one kernel pass over the data
-        # and derive each tier write by filter+projection from the cache
-        if (
-            t1m_buckets
-            and set(t1m_buckets) == set(agg_buckets)
-            and (not with_pack or set(pack_buckets) == set(t1m_buckets))
-        ):
-            observed = regularize.observed_slots(bucket_filter(raw, t1m_buckets))
-            f = fused.fused_tiers(observed, tiers, self.range_partitions).persist()
-            mf.write_tier(fused.slot_tier(f), self.tier_path("tier_1m"), "slot_start")
-            commit_tier("tier_1m", self.tier_path("tier_1m"), t1m_buckets)
-            mf.write_tier(fused.agg_tier(f), self.tier_path("agg"), "window_start")
-            commit_tier("agg", self.tier_path("agg"), agg_buckets)
-            out["tier_1m"] = self.tier_path("tier_1m")
-            out["agg"] = self.tier_path("agg")
-            if with_pack:
-                mf.write_tier(
-                    fused.pack_tier(f), self.tier_path("packed_1h"), "window_start"
+        if resume:
+            missing = sorted(
+                set().union(
+                    *(
+                        set(self.store.plan_missing(t, fp, self.n_buckets))
+                        for t in tier_names
+                    )
                 )
-                commit_tier("packed_1h", self.tier_path("packed_1h"), pack_buckets)
-                out["packed_1h"] = self.tier_path("packed_1h")
-            f.unpersist()
+            )
+        else:
+            missing = list(range(self.n_buckets))
+        if not missing:
             return out
 
-        # ---- staged path (partial resume): recompute only missing stages
-        clustered: DataFrame | None = None
-        if t1m_buckets:
-            t1m = regularize.tier_1m(
-                bucket_filter(raw, t1m_buckets), self.range_partitions
+        n_groups = max(1, min(checkpoint_groups, len(missing)))
+        size = -(-len(missing) // n_groups)
+        groups = [missing[i : i + size] for i in range(0, len(missing), size)]
+
+        for group in groups:
+            df = raw
+            if len(group) != self.n_buckets:
+                df = df.where(mf.bucket_expr().isin(group))
+            observed = regularize.observed_slots(df)
+            f = fused.fused_tiers(
+                observed, tiers, self.range_partitions, with_pack=with_pack
             )
-            clustered = rollup.cluster_by_conv(t1m, self.range_partitions).persist()
-            mf.write_tier(clustered, self.tier_path("tier_1m"), "slot_start")
-            counts = mf.footer_counts(self.tier_path("tier_1m"))
-            self.store.commit(
-                [("tier_1m", b, fp, counts.get(b, 0), run_id) for b in t1m_buckets]
+            self._drop_bucket_dirs(group)
+            (
+                f.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("row_kind", "bucket", "day")
+                .parquet(self.table_path)
             )
-        out["tier_1m"] = self.tier_path("tier_1m")
-
-        # the in-memory clustered tier only covers the buckets stage 1
-        # computed; a partially-resumed run must fall back to disk
-        if clustered is not None and len(t1m_buckets) != self.n_buckets:
-            clustered.unpersist()
-            clustered = None
-
-        def clustered_1m(buckets: list[int]) -> DataFrame:
-            nonlocal clustered
-            if clustered is None:
-                # resumed run: tier_1m already on disk; cluster it once
-                t1m = self.spark.read.parquet(self.tier_path("tier_1m"))
-                clustered = rollup.cluster_by_conv(
-                    t1m, self.range_partitions
-                ).persist()
-            return bucket_filter(clustered, buckets)
-
-        # ---- stage 2: both agg tiers in one pass (one action) ----
-        if agg_buckets:
-            agg = rollup.rollup_tiers(
-                clustered_1m(agg_buckets), tiers, pre_clustered=True
-            )
-            mf.write_tier(agg, self.tier_path("agg"), "window_start")
-            counts = mf.footer_counts(self.tier_path("agg"))
-            self.store.commit(
-                [("agg", b, fp, counts.get(b, 0), run_id) for b in agg_buckets]
-            )
-        out["agg"] = self.tier_path("agg")
-
-        # ---- stage 3: packed blocks (one action) ----
-        if with_pack:
-            if pack_buckets:
-                pk = rollup.pack_blocks(
-                    clustered_1m(pack_buckets), pre_clustered=True
-                )
-                mf.write_tier(pk, self.tier_path("packed_1h"), "window_start")
-                counts = mf.footer_counts(self.tier_path("packed_1h"))
-                self.store.commit(
-                    [
-                        ("packed_1h", b, fp, counts.get(b, 0), run_id)
-                        for b in pack_buckets
-                    ]
-                )
-            out["packed_1h"] = self.tier_path("packed_1h")
-
-        if clustered is not None:
-            clustered.unpersist()
+            rows = []
+            for t in tier_names:
+                counts = mf.footer_counts(self.tier_path(t))
+                rows += [(t, b, fp, counts.get(b, 0), run_id) for b in group]
+            self.store.commit(rows)
         return out
 
     # -- readers ---------------------------------------------------------
 
     def read_tier(self, tier: str) -> DataFrame:
-        return self.spark.read.parquet(self.tier_path(tier))
+        """One tier, projected to its column set (the slot/agg/pack files
+        share the union schema; untouched columns are never read)."""
+        return self.spark.read.parquet(self.tier_path(tier)).select(*TIER_COLS[tier])
 
     def read_agg(self, tier: str) -> DataFrame:
         return self.read_tier("agg").where(F.col("tier") == tier)

@@ -30,6 +30,17 @@ DEFAULT_POLICY: dict[str, int] = {
 }
 
 
+def _tier_root(warehouse: str, tier: str) -> str:
+    """Resolve a tier name to its directory in the unified layout
+    (<warehouse>/tiers/row_kind=X), falling back to the legacy
+    <warehouse>/<tier> layout if that is what exists on disk."""
+    from .pipeline import TIER_DIRS
+
+    unified = os.path.join(warehouse, "tiers", TIER_DIRS[tier])
+    legacy = os.path.join(warehouse, tier)
+    return unified if os.path.isdir(unified) or not os.path.isdir(legacy) else legacy
+
+
 def _day_partitions(tier_path: str) -> list[tuple[str, dt.date]]:
     """All (path, day) partitions under a (bucket, day)-laid-out tier."""
     out = []
@@ -87,13 +98,13 @@ def apply_retention(
         wms = [
             w
             for t in policy
-            if (w := tier_watermark(os.path.join(warehouse, t))) is not None
+            if (w := tier_watermark(_tier_root(warehouse, t))) is not None
         ]
         if not wms:
             return {t: [] for t in policy}
         wm = max(wms)
     for tier, keep in policy.items():
-        out[tier] = expire_tier(os.path.join(warehouse, tier), keep, wm)
+        out[tier] = expire_tier(_tier_root(warehouse, tier), keep, wm)
     return out
 
 

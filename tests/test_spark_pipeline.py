@@ -63,8 +63,7 @@ def assert_frames_bitexact(got: pd.DataFrame, want: pd.DataFrame, keys: list[str
 
 
 def _spark_tier(spark, warehouse, tier):
-    df = spark.read.parquet(os.path.join(warehouse, tier)).drop("bucket", "day")
-    return df
+    return RollupPipeline(spark, warehouse).read_tier(tier)
 
 
 def test_text_roundtrip_byte_exact(spark, input_path, raw_pdf):
@@ -118,35 +117,41 @@ def test_salted_catalyst_sums_equal_udf_path(spark, warehouse):
         )
 
 
-def test_resume_after_kill_is_byte_identical(
-    spark, input_path, golden, tmp_path_factory, monkeypatch
-):
+def test_resume_after_kill_is_byte_identical(spark, input_path, golden, tmp_path_factory):
     wh = str(tmp_path_factory.mktemp("wh2") / "tiers")
     pipe = RollupPipeline(spark, wh)
 
-    # kill the job after the 1m tier commits (FIXTURES.md §3.9) — on the
-    # fused fast path the first seam after the tier_1m commit is agg_tier
-    from sits_spark.operators import fused
+    # kill the job between checkpoint-group writes (FIXTURES.md §3.9):
+    # group 1 commits its buckets, then the run dies before group 2's
+    # commit — the manifest must carry exactly the completed buckets
+    calls = {"n": 0}
+    real_commit = pipe.store.commit
 
-    real = fused.agg_tier
+    def flaky_commit(rows):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected kill between checkpoint groups")
+        real_commit(rows)
 
-    def boom(*a, **k):
-        raise RuntimeError("injected kill after tier_1m")
-
-    monkeypatch.setattr(fused, "agg_tier", boom)
+    pipe.store.commit = flaky_commit
     with pytest.raises(RuntimeError, match="injected kill"):
-        pipe.run(input_path, run_id="run-1")
-    monkeypatch.setattr(fused, "agg_tier", real)
+        pipe.run(input_path, run_id="run-1", checkpoint_groups=4)
 
-    # resume: tier_1m buckets must be skipped (manifest rows keep run-1)
+    # resume: committed buckets skipped, missing ones recomputed
     pipe2 = RollupPipeline(spark, wh)
     pipe2.run(input_path, run_id="run-2")
     man = spark.read.schema(mf.MANIFEST_SCHEMA).parquet(os.path.join(wh, "_manifest")).toPandas()
-    assert set(man[man.tier == "tier_1m"]["run_id"]) == {"run-1"}
-    assert set(man[man.tier == "agg"]["run_id"]) == {"run-2"}
+    done_first = set(man[man.run_id == "run-1"]["bucket"])
+    done_second = set(man[man.run_id == "run-2"]["bucket"])
+    assert done_first == set(range(16))  # first of 4 groups over 64 buckets
+    assert done_second == set(range(16, 64))
+    for tier in ("tier_1m", "agg", "packed_1h"):
+        assert set(man[man.tier == tier]["bucket"]) == set(range(64))
 
     got = _spark_tier(spark, wh, "agg").where(F.col("tier") == "1h").drop("tier").toPandas()
     assert_frames_bitexact(got, golden["agg_1h"], ["conv_id", "window_start"])
+    got1m = _spark_tier(spark, wh, "tier_1m").toPandas()
+    assert_frames_bitexact(got1m, golden["tier_1m"], ["conv_id", "slot_start"])
 
     # idempotent re-run: nothing recomputed
     pipe2.run(input_path, run_id="run-3")
