@@ -15,7 +15,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from sits_spark.queries import REGISTRY, ts_reduce_stats
-from sits_spark.transcript_queries import TRANSCRIPT_QUERIES
+from sits_spark.transcript_queries import (
+    TRANSCRIPT_ORACLES,
+    TRANSCRIPT_QUERIES,
+    ensure_fixture,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -34,4 +38,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_builder, sql) in REGISTRY.items()}
+    # the transcript oracles read the deterministic fixture parquet by
+    # absolute path — make sure it exists before DuckDB runs
+    ensure_fixture()
+    out = {name: sql for name, (_builder, sql) in REGISTRY.items()}
+    out.update(TRANSCRIPT_ORACLES)
+    return out

@@ -22,7 +22,14 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["encode_ts_d2", "decode_ts_d2", "encode_xor", "decode_xor"]
+__all__ = [
+    "encode_ts_d2",
+    "decode_ts_d2",
+    "encode_xor",
+    "decode_xor",
+    "encode_ts_d2_blocks",
+    "encode_xor_blocks",
+]
 
 
 class _BitWriter:
@@ -207,3 +214,265 @@ def decode_xor(blob: bytes) -> np.ndarray:
         cur ^= x
         out[i] = cur
     return out.view(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized block encoders
+#
+# The scalar encoders above pay ~1.5 µs/value in Python bit-writer calls —
+# fine for a handful of blocks, ruinous for 10^5 blocks per task. The block
+# encoders build the SAME bitstream formats fully vectorized: every block of
+# a batch contributes variable-width bitfields to one numpy packing pass,
+# each block starting byte-aligned so the shared buffer slices into exactly
+# the per-block blobs the scalar decoders accept.
+#
+# One deliberate policy difference (format-compatible, documented): the
+# scalar XOR encoder reuses the previous leading/length window whenever the
+# new meaningful bits FIT inside it (paper §4.2); the block encoder reuses
+# only when the window is IDENTICAL. "Fits" makes the window state a
+# sequential dependence (unvectorizable); "identical" keeps the decoder
+# state equal to each value's own window inside an equal-run, so '10'
+# tokens remain exactly decodable. Blobs are slightly larger, decode is
+# unchanged.
+# ---------------------------------------------------------------------------
+
+
+_U64 = np.uint64
+
+
+def _pack_bitfields(
+    vals: np.ndarray, widths: np.ndarray, field_bounds: np.ndarray
+) -> list[bytes]:
+    """Pack variable-width big-endian bitfields into per-block blobs.
+
+    ``vals[field_bounds[i]:field_bounds[i+1]]`` are block i's fields (each
+    ≤ 64 bits, given LSB-aligned in a uint64); each block's stream starts
+    byte-aligned and its final partial byte is zero-padded — matching
+    _BitWriter.bytes(). Returns the list of per-block byte blobs."""
+    vals = vals.astype(_U64, copy=False)
+    widths = widths.astype(np.int64, copy=False)
+    nb = len(field_bounds) - 1
+    cum = np.zeros(len(widths) + 1, dtype=np.int64)
+    np.cumsum(widths, out=cum[1:])
+    block_bits = cum[field_bounds[1:]] - cum[field_bounds[:-1]]
+    block_bytes = (block_bits + 7) >> 3
+    byte_starts = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(block_bytes, out=byte_starts[1:])
+    # global bit offset of each field: block's aligned start + in-block bits
+    in_block = cum[:-1] - np.repeat(cum[field_bounds[:-1]], np.diff(field_bounds))
+    o = np.repeat(byte_starts[:-1] * 8, np.diff(field_bounds)) + in_block
+    end = o + widths
+    total_words = (int(byte_starts[-1]) + 7) // 8 + 1
+    words = np.zeros(total_words, dtype=_U64)
+    w0 = o >> 6
+    w1 = (end - 1) >> 6  # width >= 1 guaranteed (zero-width filtered out)
+    mask = widths < 64
+    vmask = np.where(mask, (_U64(1) << widths.astype(_U64)) - _U64(1), ~_U64(0))
+    v = vals & vmask
+    same = w0 == w1
+    # single-word part: value sits at bits [o, end) of word w0
+    sh_same = ((w0 + 1) * 64 - end).astype(_U64)
+    np.bitwise_or.at(words, w0[same], (v[same] << sh_same[same]))
+    # split fields: high part -> tail of w0, low part -> head of w1
+    sp = ~same
+    if sp.any():
+        lowbits = (end[sp] - w1[sp] * 64).astype(_U64)
+        np.bitwise_or.at(words, w0[sp], v[sp] >> lowbits)
+        sh_low = ((w1[sp] + 1) * 64).astype(_U64) - end[sp].astype(_U64)
+        np.bitwise_or.at(words, w1[sp], (v[sp] << sh_low))
+    buf = words.byteswap().tobytes()
+    return [
+        buf[byte_starts[i] : byte_starts[i + 1]] for i in range(nb)
+    ]
+
+
+def _clz64_vec(x: np.ndarray) -> np.ndarray:
+    """Leading-zero count of uint64 array (0 -> 64)."""
+    out = np.full(len(x), 64, dtype=np.int64)
+    hi = (x >> _U64(32)).astype(np.uint32)
+    lo = (x & _U64(0xFFFFFFFF)).astype(np.uint32)
+    # bit_length via float64 exponent is exact for 32-bit values
+    bl_hi = np.zeros(len(x), dtype=np.int64)
+    nz = hi != 0
+    bl_hi[nz] = np.floor(np.log2(hi[nz].astype(np.float64))).astype(np.int64) + 1
+    bl_lo = np.zeros(len(x), dtype=np.int64)
+    nz2 = lo != 0
+    bl_lo[nz2] = np.floor(np.log2(lo[nz2].astype(np.float64))).astype(np.int64) + 1
+    out = np.where(nz, 64 - (bl_hi + 32), np.where(nz2, 64 - bl_lo, 64))
+    return out
+
+
+def _ctz64_vec(x: np.ndarray) -> np.ndarray:
+    """Trailing-zero count of uint64 array (0 -> 64)."""
+    lsb = x & (~x + _U64(1))  # isolate lowest set bit
+    return np.where(x == 0, 64, 63 - _clz64_vec(lsb))
+
+
+def encode_xor_blocks(vals: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+    """XOR-encode many float64 blocks at once (see module notes on the
+    identical-window reuse policy). ``bounds`` are block boundaries into
+    ``vals``; returns one blob per block, decodable by ``decode_xor``."""
+    vals = np.asarray(vals, dtype=np.float64)
+    bits = vals.view(_U64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+    nb = len(bounds) - 1
+    lens = np.diff(bounds)
+    n = len(vals)
+
+    # per-position xor with previous IN-BLOCK value (block firsts unused)
+    xor = np.zeros(n, dtype=_U64)
+    if n > 1:
+        xor[1:] = bits[1:] ^ bits[:-1]
+    is_first = np.zeros(n, dtype=bool)
+    is_first[bounds[:-1][lens > 0]] = True
+    body = ~is_first
+    zero = (xor == 0) & body
+
+    lead = np.minimum(_clz64_vec(xor), 63)
+    trail = _ctz64_vec(xor)
+    length = 64 - lead - trail
+    # identical-window reuse: compare with the previous NONZERO xor token
+    # in the same block (run-equality keeps the decoder window in sync)
+    tok = body & ~zero
+    win = lead * 64 + length
+    prev_win = np.full(n, -1, dtype=np.int64)
+    idx = np.flatnonzero(tok)
+    if len(idx) > 1:
+        prev_win[idx[1:]] = win[idx[:-1]]
+    # block firsts of the token sequence must emit '11'
+    _gblk = np.repeat(np.arange(nb), lens)
+    same_blk = np.zeros(n, dtype=bool)
+    if len(idx) > 1:
+        same_blk[idx[1:]] = _gblk[idx[1:]] == _gblk[idx[:-1]]
+    reuse = tok & same_blk & (prev_win == win)
+    fresh = tok & ~reuse
+
+    # fields per position: header (2/block), then 1-2 fields per value
+    # field layout per block: [n:32][first:64] then tokens
+    # zero:      ('0', 1)
+    # reuse:     ('10' << len | meaningful, 2 + len)
+    # fresh:     ('11' << 12 | lead << 6 | (len-1), 14) + (meaningful, len)
+    n_fields = np.zeros(n, dtype=np.int64)
+    n_fields[zero] = 1
+    n_fields[reuse] = 2  # control + payload (2+len can exceed 64 bits fused)
+    n_fields[fresh] = 2
+    # header: [n:32] always (scalar writes it for empty blocks too),
+    # [first:64] only when the block is non-empty
+    hdr = 1 + (lens > 0).astype(np.int64)
+    gblk = np.repeat(np.arange(nb), lens)  # global block id per position
+    fields_per_block = hdr + np.bincount(
+        gblk, weights=n_fields, minlength=nb
+    ).astype(np.int64)
+
+    total_fields = int(fields_per_block.sum())
+    fvals = np.zeros(total_fields, dtype=_U64)
+    fwidths = np.zeros(total_fields, dtype=np.int64)
+    field_bounds = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(fields_per_block, out=field_bounds[1:])
+
+    # header fields
+    fvals[field_bounds[:-1]] = lens.astype(_U64)
+    fwidths[field_bounds[:-1]] = 32
+    hpos = field_bounds[:-1][lens > 0]
+    fvals[hpos + 1] = bits[bounds[:-1][lens > 0]]
+    fwidths[hpos + 1] = 64
+
+    # body token target slots: per block, tokens start after the header
+    csum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_fields, out=csum[1:])
+    # in-block field offset = csum[i] - csum[block_start] + 2
+    tgt = field_bounds[gblk] + (csum[:-1] - csum[bounds[:-1][gblk]]) + 2
+
+    meaning = xor >> trail.astype(_U64)
+    zi = np.flatnonzero(zero)
+    fvals[tgt[zi]] = 0
+    fwidths[tgt[zi]] = 1
+    ri = np.flatnonzero(reuse)
+    fvals[tgt[ri]] = _U64(0b10)
+    fwidths[tgt[ri]] = 2
+    fvals[tgt[ri] + 1] = meaning[ri]
+    fwidths[tgt[ri] + 1] = length[ri]
+    fi = np.flatnonzero(fresh)
+    fvals[tgt[fi]] = _U64(0b11 << 12) | (lead[fi].astype(_U64) << _U64(6)) | (
+        length[fi] - 1
+    ).astype(_U64)
+    fwidths[tgt[fi]] = 14
+    fvals[tgt[fi] + 1] = meaning[fi]
+    fwidths[tgt[fi] + 1] = length[fi]
+
+    return _pack_bitfields(fvals, fwidths, field_bounds)
+
+
+def encode_ts_d2_blocks(ts: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+    """Delta-of-delta encode many int64 timestamp blocks at once.
+    Bit-identical to per-block ``encode_ts_d2`` calls."""
+    ts = np.asarray(ts, dtype=np.int64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+    nb = len(bounds) - 1
+    lens = np.diff(bounds)
+    n = len(ts)
+
+    delta = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        delta[1:] = ts[1:] - ts[:-1]
+    dod = np.zeros(n, dtype=np.int64)
+    if n > 2:
+        dod[2:] = delta[2:] - delta[1:-1]
+    # dod tokens exist at in-block positions >= 2
+    pos_in_block = np.arange(n) - np.repeat(bounds[:-1], lens)
+    body = pos_in_block >= 2
+
+    d0 = body & (dod == 0)
+    d7 = body & ~d0 & (dod >= -63) & (dod <= 64)
+    d9 = body & ~d0 & ~d7 & (dod >= -255) & (dod <= 256)
+    d12 = body & ~d0 & ~d7 & ~d9 & (dod >= -2047) & (dod <= 2048)
+    d64 = body & ~d0 & ~d7 & ~d9 & ~d12
+
+    n_fields = np.zeros(n, dtype=np.int64)
+    n_fields[d0 | d7 | d9 | d12] = 1
+    n_fields[d64] = 2
+    hdr = 1 + (lens >= 1).astype(np.int64) + (lens >= 2).astype(np.int64)
+    gblk = np.repeat(np.arange(nb), lens)
+    fields_per_block = hdr + np.bincount(
+        gblk, weights=n_fields, minlength=nb
+    ).astype(np.int64)
+
+    total_fields = int(fields_per_block.sum())
+    fvals = np.zeros(total_fields, dtype=_U64)
+    fwidths = np.zeros(total_fields, dtype=np.int64)
+    field_bounds = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(fields_per_block, out=field_bounds[1:])
+
+    # headers: [n:32] [ts0:64]? [delta0:64]?
+    fvals[field_bounds[:-1]] = lens.astype(_U64)
+    fwidths[field_bounds[:-1]] = 32
+    h1 = field_bounds[:-1][lens >= 1] + 1
+    fvals[h1] = ts[bounds[:-1][lens >= 1]].astype(_U64)
+    fwidths[h1] = 64
+    h2 = field_bounds[:-1][lens >= 2] + 2
+    fvals[h2] = delta[bounds[:-1][lens >= 2] + 1].astype(_U64)
+    fwidths[h2] = 64
+
+    csum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_fields, out=csum[1:])
+    tgt = field_bounds[gblk] + (csum[:-1] - csum[bounds[:-1][gblk]]) + hdr[gblk]
+
+    i0 = np.flatnonzero(d0)
+    fvals[tgt[i0]] = 0
+    fwidths[tgt[i0]] = 1
+    i7 = np.flatnonzero(d7)
+    fvals[tgt[i7]] = _U64(0b10 << 7) | (dod[i7] + 63).astype(_U64)
+    fwidths[tgt[i7]] = 9
+    i9 = np.flatnonzero(d9)
+    fvals[tgt[i9]] = _U64(0b110 << 9) | (dod[i9] + 255).astype(_U64)
+    fwidths[tgt[i9]] = 12
+    i12 = np.flatnonzero(d12)
+    fvals[tgt[i12]] = _U64(0b1110 << 12) | (dod[i12] + 2047).astype(_U64)
+    fwidths[tgt[i12]] = 16
+    i64 = np.flatnonzero(d64)
+    fvals[tgt[i64]] = _U64(0b1111)
+    fwidths[tgt[i64]] = 4
+    fvals[tgt[i64] + 1] = dod[i64].astype(_U64)
+    fwidths[tgt[i64] + 1] = 64
+
+    return _pack_bitfields(fvals, fwidths, field_bounds)

@@ -172,6 +172,123 @@ def band_pipeline_rows(
     return filled_rows, sg_rows, whit_rows, flag_rows
 
 
+_FLAG_NAMES = np.array(["obs", "linear", "locf_lead", "locf_trail", "empty"], dtype=object)
+
+
+def scatter_grid_flat(
+    slot_s: np.ndarray,
+    obs_bounds: np.ndarray,
+    metrics: dict[str, np.ndarray],
+) -> tuple[dict[str, np.ndarray], np.ndarray]:
+    """Expand MANY convs' observed (sparse) slots into their concatenated
+    dense minute grids in one vectorized pass — value-identical to per-conv
+    ``scatter_grid`` (integer scatters into disjoint ranges; the ``alen``
+    division is elementwise).
+
+    Returns (flat grid columns, grid conv-bounds)."""
+    n_convs = len(obs_bounds) - 1
+    first = slot_s[obs_bounds[:-1]]
+    last = slot_s[obs_bounds[1:] - 1]
+    t_len = (last - first) // 60 + 1
+    gb = np.zeros(n_convs + 1, dtype=np.int64)
+    np.cumsum(t_len, out=gb[1:])
+    total = int(gb[-1])
+    conv_of_obs = np.repeat(np.arange(n_convs), np.diff(obs_bounds))
+    pos = gb[:-1][conv_of_obs] + (slot_s - first[conv_of_obs]) // 60
+    # dense slot_start axis: per conv, first + 60*arange(T)
+    in_grid = np.arange(total, dtype=np.int64) - np.repeat(gb[:-1], t_len)
+    grid = {"slot_start_s": np.repeat(first, t_len) + 60 * in_grid}
+
+    def scatter(vals: np.ndarray) -> np.ndarray:
+        out = np.zeros(total, dtype=np.int64)
+        out[pos] = vals
+        return out
+
+    g_alen_sum = scatter(metrics["alen_sum"])
+    g_alen_n = scatter(metrics["alen_n"])
+    for k in _SUM_COLS:
+        grid[k] = scatter(metrics[k])
+    grid["present"] = grid["n_turns"] > 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        grid["alen"] = np.where(
+            g_alen_n > 0, g_alen_sum.astype(np.float64) / g_alen_n, np.nan
+        )
+    return grid, gb
+
+
+def band_pipeline_flat(
+    alen: np.ndarray, gb: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Gap-fill + flags + SG + Whittaker over MANY convs' concatenated
+    band, bit-identical per conv to band_pipeline on (1, T).
+
+    Flags and interp run vectorized over the flat array (per-conv edge
+    positions from reduceat); SG batches equal-length convs; Whittaker
+    runs the shared ragged prefix solver. Returns flat
+    (filled, sg, whit, flags)."""
+    n = len(alen)
+    n_convs = len(gb) - 1
+    lengths = np.diff(gb)
+    obs = ~np.isnan(alen)
+    idx = np.arange(n, dtype=np.int64)
+    big = np.where(obs, idx, n)
+    small = np.where(obs, idx, -1)
+    first_v = np.minimum.reduceat(big, gb[:-1]) if n else np.empty(0, np.int64)
+    last_v = np.maximum.reduceat(small, gb[:-1]) if n else np.empty(0, np.int64)
+    any_obs = first_v < n
+
+    # flags (same taxonomy as fill_flags_mtx)
+    codes = np.ones(n, dtype=np.int8)  # linear
+    codes[obs] = 0
+    fv = np.repeat(np.where(any_obs, first_v, 0), lengths)
+    lv = np.repeat(np.where(any_obs, last_v, n), lengths)
+    has = np.repeat(any_obs, lengths)
+    codes[(idx < fv) & has & ~obs] = 2  # locf_lead
+    codes[(idx > lv) & has & ~obs] = 3  # locf_trail
+    codes[~has] = 4  # empty
+    flags = _FLAG_NAMES[codes]
+
+    # gap fill: per conv np.interp only where needed (C-speed inner loop)
+    filled = alen.copy()
+    conv_all = np.flatnonzero(any_obs)
+    need = conv_all[
+        np.add.reduceat(obs, gb[:-1])[conv_all] < lengths[conv_all]
+    ]
+    for c in need:
+        lo, hi = gb[c], gb[c + 1]
+        seg = alen[lo:hi]
+        valid = obs[lo:hi]
+        x = np.arange(hi - lo, dtype=np.float64)
+        filled[lo:hi] = np.interp(x, x[valid], seg[valid])
+
+    # SG: batch equal-length convs (row-wise kernel)
+    sg = np.empty_like(filled)
+    by_len: dict[int, list[int]] = {}
+    for c in range(n_convs):
+        by_len.setdefault(int(lengths[c]), []).append(c)
+    for t, cs in by_len.items():
+        rows = np.empty((len(cs), t))
+        for r, c in enumerate(cs):
+            rows[r] = filled[gb[c] : gb[c] + t]
+        out = kernels.smooth_sg_mtx(rows, order=SG_ORDER, length=SG_LENGTH)
+        for r, c in enumerate(cs):
+            sg[gb[c] : gb[c] + t] = out[r]
+
+    # Whittaker: shared ragged solver over the length-sorted batch
+    order = np.argsort(-lengths, kind="stable")
+    sorted_lens = lengths[order]
+    offsets = np.zeros(n_convs, dtype=np.int64)
+    np.cumsum(sorted_lens[:-1], out=offsets[1:])
+    flat_sorted = np.empty(n, dtype=np.float64)
+    for p, c in enumerate(order):
+        flat_sorted[offsets[p] : offsets[p] + sorted_lens[p]] = filled[gb[c] : gb[c + 1]]
+    whit_sorted = kernels.smooth_whit_ragged(flat_sorted, offsets, sorted_lens, WHIT_LAMBDA)
+    whit = np.empty(n, dtype=np.float64)
+    for p, c in enumerate(order):
+        whit[gb[c] : gb[c + 1]] = whit_sorted[offsets[p] : offsets[p] + sorted_lens[p]]
+    return filled, sg, whit, flags
+
+
 def observed_to_grid(
     slot_s: np.ndarray,
     n_turns: np.ndarray,
@@ -277,27 +394,113 @@ def rollup_conv(grid: dict[str, np.ndarray], tier_seconds: int) -> dict[str, np.
     return out
 
 
-def pack_conv(grid: dict[str, np.ndarray], tier_seconds: int = 3600) -> list[tuple]:
+_SUM_COLS = ("n_turns", "tokens_user", "tokens_assistant", "tokens_tool", "tool_calls")
+
+
+def rollup_flat(
+    flat: dict[str, np.ndarray],
+    conv_bounds: np.ndarray,
+    tier_seconds: int,
+) -> tuple[dict[str, np.ndarray], np.ndarray]:
+    """Windowed rollup over MANY conversations' concatenated dense 1m
+    grids in one vectorized pass — bit-identical per window to
+    ``rollup_conv`` on each conv alone (integer reduceat segments are the
+    same; the float stat kernels are row-wise, so stacking windows of
+    equal width across convs cannot change any row's result).
+
+    ``flat`` holds the conv-major concatenation of each grid column
+    (``slot_start_s``, the integer metrics, ``alen_whit``);
+    ``conv_bounds`` are the per-conv boundaries into it. Returns
+    (columns keyed by ROLLUP_COLS, conv index of each window row).
+    """
+    slot_s = flat["slot_start_s"]
+    vals = flat["alen_whit"]
+    n = len(slot_s)
+    win = (slot_s // tier_seconds) * tier_seconds
+    is_b = np.zeros(n, dtype=bool)
+    is_b[0] = True
+    is_b[1:] = win[1:] != win[:-1]
+    is_b[conv_bounds[1:-1]] = True  # never merge windows across convs
+    w_first = np.flatnonzero(is_b)
+    bounds = np.append(w_first, n)
+    widths = np.diff(bounds)
+    conv_of_w = np.searchsorted(conv_bounds, w_first, side="right") - 1
+
+    n_slots = widths.astype(np.int64)
+    out: dict[str, np.ndarray] = {
+        "window_start_s": win[w_first],
+        "n_slots": n_slots,
+    }
+    for k in _SUM_COLS:
+        out[k] = np.add.reduceat(flat[k], w_first)
+    out["turn_rate"] = out["n_turns"].astype(np.float64) / n_slots
+    out["tool_call_rate"] = out["tool_calls"].astype(np.float64) / n_slots
+
+    # float stats: group windows by width, one row-wise kernel call each
+    nw = len(w_first)
+    stats = [np.empty(nw) for _ in range(5)]
+    order = np.argsort(widths, kind="stable")
+    sw = widths[order]
+    grp = np.append(np.flatnonzero(np.diff(sw)) + 1, len(sw))
+    lo = 0
+    for hi in grp:
+        idxs = order[lo:hi]
+        u = int(sw[lo])
+        lo = hi
+        mtx = vals[w_first[idxs][:, None] + np.arange(u)]
+        res = _window_stats_block(mtx)
+        for s, r in zip(stats, res):
+            s[idxs] = r
+    out["alen_mean"], out["alen_min"], out["alen_max"] = stats[0], stats[1], stats[2]
+    out["alen_median"], out["alen_std"] = stats[3], stats[4]
+    return out, conv_of_w
+
+
+def pack_flat(
+    flat: dict[str, np.ndarray],
+    conv_bounds: np.ndarray,
+    tier_seconds: int = 3600,
+) -> tuple[dict[str, object], np.ndarray]:
+    """Gorilla-pack MANY convs' smoothed bands in one vectorized pass —
+    blobs bit-identical to per-conv ``pack_conv`` (block encoding is
+    per-window independent). Returns (pack columns, window's conv index)."""
+    slot_s = flat["slot_start_s"]
+    vals = flat["alen_whit"].astype(np.float64, copy=False)
+    n = len(slot_s)
+    win = (slot_s // tier_seconds) * tier_seconds
+    is_b = np.zeros(n, dtype=bool)
+    is_b[0] = True
+    is_b[1:] = win[1:] != win[:-1]
+    is_b[conv_bounds[1:-1]] = True
+    w_first = np.flatnonzero(is_b)
+    bounds = np.append(w_first, n)
+    conv_of_w = np.searchsorted(conv_bounds, w_first, side="right") - 1
+    cols = {
+        "window_start_s": win[w_first],
+        "n": np.diff(bounds).astype(np.int32),
+        "first_ts": slot_s[w_first],
+        "first_val": vals[w_first],
+        "ts_d2": codec.encode_ts_d2_blocks(slot_s, bounds),
+        "vals_gorilla": codec.encode_xor_blocks(vals, bounds),
+    }
+    return cols, conv_of_w
+
+
+def pack_conv(grid: dict[str, np.ndarray], tier_seconds: int = 3600) -> dict[str, object]:
     """Gorilla-pack ONE conv's smoothed 1m band per tier window. Returns
-    rows (window_start_s, n, first_ts, first_val, ts_d2, vals_gorilla)."""
+    columns {window_start_s, n, first_ts, first_val, ts_d2, vals_gorilla}
+    (blob columns as lists of bytes). Every window of the conv encodes in
+    one vectorized block-codec pass (codec.encode_*_blocks)."""
     slots = grid["slot_start_s"]
     win = (slots // tier_seconds) * tier_seconds
     w_starts, w_first = np.unique(win, return_index=True)
     bounds = np.append(w_first, len(slots))
     vals = grid["alen_whit"].astype(np.float64)
-    rows = []
-    for i, w in enumerate(w_starts):
-        lo, hi = bounds[i], bounds[i + 1]
-        ts = slots[lo:hi]
-        vv = vals[lo:hi]
-        rows.append(
-            (
-                int(w),
-                int(hi - lo),
-                int(ts[0]),
-                float(vv[0]),
-                codec.encode_ts_d2(ts),
-                codec.encode_xor(vv),
-            )
-        )
-    return rows
+    return {
+        "window_start_s": w_starts,
+        "n": np.diff(bounds).astype(np.int32),
+        "first_ts": slots[w_first],
+        "first_val": vals[w_first],
+        "ts_d2": codec.encode_ts_d2_blocks(slots, bounds),
+        "vals_gorilla": codec.encode_xor_blocks(vals, bounds),
+    }

@@ -3,13 +3,27 @@ aggregates, packed blocks} in ONE mapInArrow stage.
 
 At 10^12-turn scale the dominant cost is touching the series data; once a
 conversation's grid is materialized in memory, the rollup and packing of
-that same grid are marginal. This operator therefore emits a UNION-schema
-stream (``row_kind`` in {slot, agg, pack}) from a single conv-batched
-pass; the pipeline caches the (much smaller) union output and derives each
-tier with a pure filter + projection before its write. This replaces three
-kernel passes over the 1m tier with one — the Spark analog of the
-reference computing every requested band in one chunk traversal
+that same grid are marginal. This operator therefore computes every tier
+in a single conv-batched pass — the Spark analog of the reference
+computing every requested band in one chunk traversal
 (/root/reference/R/api_apply.R:114-138 block loop).
+
+Two sinks over the same kernel stream:
+
+- ``fused_tiers``: a UNION-schema DataFrame (``row_kind`` in
+  {slot, agg, pack}) for downstream DataFrame composition.
+- ``fused_write``: an Arrow-native partitioned-table writer — each task
+  writes its (row_kind, bucket, day) parquet files directly via pyarrow
+  and returns only per-partition row-count stats. This is the
+  DataSourceV2-writer pattern realized at the operator level: the input
+  is already range-clustered by (bucket, conv_id), so the write needs no
+  repartition exchange and no partition sort, each tier's files carry its
+  OWN narrow schema (no union nulls), and the 3-tier fan-out costs one
+  action instead of three. Idempotent under task retry: file names are
+  deterministic per (partition dir, task partition id) and content is a
+  pure function of the input split. Atomicity/visibility is owned by the
+  pipeline's manifest commit (sits_spark.manifest), exactly as Iceberg
+  writers hand visibility to the catalog commit.
 
 Per-conv math is identical to operators.regularize/rollup (shared
 engine_core kernels), so byte-exactness vs the oracle is unchanged —
@@ -18,12 +32,12 @@ asserted in tests/test_spark_pipeline.py.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from .. import engine_core
 from ..batching import arrow_conv_batches, conv_bounds, record_batch, schema_of
@@ -47,120 +61,131 @@ TIER_1M_COLS = [f.split(" ")[0] for f in TIER_1M_SCHEMA.split(", ")]
 ROLLUP_COLS = [f.split(" ")[0] for f in ROLLUP_SCHEMA.split(", ")]
 PACK_COLS = [f.split(" ")[0] for f in PACK_SCHEMA.split(", ")]
 
+# per-kind on-disk file schema (partition cols bucket/day live in the path)
+_KIND_PA = {
+    "slot": schema_of(TIER_1M_SCHEMA),
+    "agg": schema_of(ROLLUP_SCHEMA),
+    "pack": schema_of(PACK_SCHEMA),
+}
+_KIND_TS = {"slot": "slot_start", "agg": "window_start", "pack": "window_start"}
+TIER_OF_KIND = {"slot": "tier_1m", "agg": "agg", "pack": "packed_1h"}
+
+STATS_SCHEMA = "tier string, bucket int, rows long"
+_STATS_PA = schema_of(STATS_SCHEMA)
+
+
+def _tier_stream(
+    it: Iterator[pa.RecordBatch], tiers: tuple[str, ...], with_pack: bool
+):
+    """Kernel core: yields (kind, columns, n_rows) per conv-batch, where
+    ``columns`` maps each output column (timestamps as int64 epoch-µs,
+    plus ``bucket`` int32 and ``day`` int32 epoch-days) to a numpy array."""
+    for tbl in arrow_conv_batches(it):
+        cid = tbl["conv_id"]
+        slot = tbl["slot_s"]
+        bkt = tbl["bucket"]
+        starts, bounds = conv_bounds(cid)
+        n_convs = len(starts)
+
+        # --- dense grids + band pipeline, flat across the whole batch ---
+        grid, gb = engine_core.scatter_grid_flat(
+            slot, bounds, {c: tbl[c] for c in _OBS_COLS}
+        )
+        filled, sg, whit, flags = engine_core.band_pipeline_flat(grid["alen"], gb)
+
+        # --- slot rows ---
+        lens = np.diff(gb)
+        n_slot = int(gb[-1])
+        slot_s_all = grid["slot_start_s"]
+        slot_data: dict[str, np.ndarray] = {
+            "conv_id": np.repeat(cid[starts], lens),
+            "slot_start": slot_s_all * 1_000_000,
+            "bucket": np.repeat(bkt[starts], lens),
+            "day": (slot_s_all // 86400).astype(np.int32),
+            "alen": grid["alen"],
+            "fill_flag": flags,
+            "alen_filled": filled,
+            "alen_sg": sg,
+            "alen_whit": whit,
+        }
+        for k in _INT_COLS:
+            slot_data[k] = grid[k]
+        yield "slot", slot_data, n_slot
+
+        # --- agg + pack over the already-flat grid columns (one
+        # vectorized pass per tier across ALL convs in the batch) ---
+        flat = {
+            "slot_start_s": slot_s_all,
+            "alen_whit": slot_data["alen_whit"],
+        }
+        for k in engine_core._SUM_COLS:
+            flat[k] = slot_data[k]
+        gb = np.zeros(n_convs + 1, dtype=np.int64)
+        np.cumsum(lens, out=gb[1:])
+        conv_arr = cid[starts]
+        bkt_arr = bkt[starts].astype(np.int32)
+
+        parts = [
+            (tier, *engine_core.rollup_flat(flat, gb, engine_core.TIER_SECONDS[tier]))
+            for tier in tiers
+        ]
+        n_agg = sum(len(cw) for _t, _c, cw in parts)
+        agg_win = np.concatenate([c["window_start_s"] for _t, c, _w in parts])
+        agg_data = {
+            "conv_id": np.concatenate([conv_arr[cw] for _t, _c, cw in parts]),
+            "bucket": np.concatenate([bkt_arr[cw] for _t, _c, cw in parts]),
+            "tier": np.concatenate(
+                [np.full(len(cw), t, dtype=object) for t, _c, cw in parts]
+            ),
+            "window_start": agg_win * 1_000_000,
+            "day": (agg_win // 86400).astype(np.int32),
+        }
+        for k in engine_core.ROLLUP_COLS:
+            if k != "window_start_s":
+                agg_data[k] = np.concatenate([c[k] for _t, c, _w in parts])
+        yield "agg", agg_data, n_agg
+
+        if with_pack:
+            pcols, pcw = engine_core.pack_flat(flat, gb, 3600)
+            pk_win = pcols["window_start_s"]
+            pack_data = {
+                "conv_id": conv_arr[pcw],
+                "bucket": bkt_arr[pcw],
+                "window_start": pk_win * 1_000_000,
+                "day": (pk_win // 86400).astype(np.int32),
+                "n": pcols["n"],
+                "first_ts": pcols["first_ts"],
+                "first_val": pcols["first_val"],
+                "ts_d2": np.array(pcols["ts_d2"], dtype=object),
+                "vals_gorilla": np.array(pcols["vals_gorilla"], dtype=object),
+            }
+            yield "pack", pack_data, len(pcw)
+
 
 def _fused_iter(tiers: tuple[str, ...], with_pack: bool = True):
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for tbl in arrow_conv_batches(it):
-            cid = tbl["conv_id"]
-            slot = tbl["slot_s"]
-            bkt = tbl["bucket"]
-            starts, bounds = conv_bounds(cid)
-            n_convs = len(starts)
-
-            # --- grids + ragged band pipeline over the whole batch ---
-            grids: list[dict[str, np.ndarray]] = []
-            for i in range(n_convs):
-                sl = slice(bounds[i], bounds[i + 1])
-                grids.append(
-                    engine_core.scatter_grid(
-                        slot[sl], *[tbl[c][sl] for c in _OBS_COLS]
-                    )
-                )
-            filled, sg, whit, flags = engine_core.band_pipeline_rows(
-                [g["alen"] for g in grids]
-            )
-            for i in range(n_convs):
-                grids[i]["fill_flag"] = flags[i]
-                grids[i]["alen_filled"] = filled[i]
-                grids[i]["alen_sg"] = sg[i]
-                grids[i]["alen_whit"] = whit[i]
-
-            # --- slot rows ---
-            lens = np.array([len(g["slot_start_s"]) for g in grids], dtype=np.int64)
-            n_slot_rows = int(lens.sum())
-            slot_s_all = np.concatenate([g["slot_start_s"] for g in grids])
-            slot_data: dict[str, np.ndarray] = {
-                "row_kind": np.full(n_slot_rows, "slot", dtype=object),
-                "conv_id": np.repeat(cid[starts], lens),
-                "slot_start": slot_s_all * 1_000_000,
-                "bucket": np.repeat(bkt[starts], lens),
-                "day": (slot_s_all // 86400).astype(np.int32),
-            }
-            for k in _INT_COLS:
-                slot_data[k] = np.concatenate([g[k] for g in grids])
-            for k in ("alen", "fill_flag", "alen_filled", "alen_sg", "alen_whit"):
-                slot_data[k] = np.concatenate([g[k] for g in grids])
-            yield record_batch(slot_data, _FUSED_PA, n_slot_rows)
-
-            # --- agg rows (all tiers) + pack rows from the in-hand grids ---
-            agg_out: dict[str, list[np.ndarray]] = {
-                k: [] for k in engine_core.ROLLUP_COLS
-            }
-            agg_conv: list = []
-            agg_bkt: list[int] = []
-            agg_tier: list[str] = []
-            agg_len: list[int] = []
-            pk_conv: list = []
-            pk_bkt: list[int] = []
-            pk_rows: list[tuple] = []
-            for i in range(n_convs):
-                g = grids[i]
-                conv_grid = {
-                    "slot_start_s": g["slot_start_s"],
-                    "alen_whit": g["alen_whit"],
-                }
-                for k in ("n_turns", "tokens_user", "tokens_assistant", "tokens_tool", "tool_calls"):
-                    conv_grid[k] = g[k]
-                for tier in tiers:
-                    res = engine_core.rollup_conv(
-                        conv_grid, engine_core.TIER_SECONDS[tier]
-                    )
-                    for k in engine_core.ROLLUP_COLS:
-                        agg_out[k].append(res[k])
-                    agg_conv.append(cid[starts[i]])
-                    agg_bkt.append(bkt[starts[i]])
-                    agg_tier.append(tier)
-                    agg_len.append(len(res["window_start_s"]))
-                if with_pack:
-                    for r in engine_core.pack_conv(conv_grid, 3600):
-                        pk_conv.append(cid[starts[i]])
-                        pk_bkt.append(bkt[starts[i]])
-                        pk_rows.append(r)
-
-            alens = np.array(agg_len, dtype=np.int64)
-            n_agg = int(alens.sum())
-            agg_win = np.concatenate(agg_out["window_start_s"])
-            agg_data = {
-                "row_kind": np.full(n_agg, "agg", dtype=object),
-                "conv_id": np.repeat(np.array(agg_conv, dtype=object), alens),
-                "bucket": np.repeat(np.array(agg_bkt, dtype=np.int32), alens),
-                "tier": np.repeat(np.array(agg_tier, dtype=object), alens),
-                "window_start": agg_win * 1_000_000,
-                "day": (agg_win // 86400).astype(np.int32),
-            }
-            for k in engine_core.ROLLUP_COLS:
-                if k != "window_start_s":
-                    agg_data[k] = np.concatenate(agg_out[k])
-            yield record_batch(agg_data, _FUSED_PA, n_agg)
-
-            if with_pack:
-                n_pk = len(pk_rows)
-                pk_win = np.array([r[0] for r in pk_rows], dtype=np.int64)
-                pack_data = {
-                    "row_kind": np.full(n_pk, "pack", dtype=object),
-                    "conv_id": pk_conv,
-                    "bucket": np.array(pk_bkt, dtype=np.int32),
-                    "window_start": pk_win * 1_000_000,
-                    "day": (pk_win // 86400).astype(np.int32),
-                    "n": np.array([r[1] for r in pk_rows], dtype=np.int32),
-                    "first_ts": np.array([r[2] for r in pk_rows], dtype=np.int64),
-                    "first_val": np.array([r[3] for r in pk_rows], dtype=np.float64),
-                    "ts_d2": [r[4] for r in pk_rows],
-                    "vals_gorilla": [r[5] for r in pk_rows],
-                }
-                yield record_batch(pack_data, _FUSED_PA, n_pk)
+        for kind, data, n in _tier_stream(it, tiers, with_pack):
+            data = dict(data)
+            data["row_kind"] = np.full(n, kind, dtype=object)
+            yield record_batch(data, _FUSED_PA, n)
 
     return fn
+
+
+def _cluster(observed: DataFrame, partitions: int | None) -> DataFrame:
+    """Range-cluster by (bucket, conv_id) and sort — a conversation stays
+    whole inside one task and each task's output covers few buckets, so a
+    (bucket, day)-partitioned write needs no further exchange."""
+    from .. import manifest as mf
+
+    n = partitions or int(
+        observed.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return (
+        observed.withColumn("bucket", mf.bucket_expr())
+        .repartitionByRange(n, "bucket", "conv_id")
+        .sortWithinPartitions("bucket", "conv_id", "slot_s")
+    )
 
 
 def fused_tiers(
@@ -169,33 +194,103 @@ def fused_tiers(
     partitions: int | None = None,
     with_pack: bool = True,
 ) -> DataFrame:
-    """Observed 1-minute slots -> union-schema stream of all tiers.
-
-    Clusters by (bucket, conv_id) ranges — a conversation stays whole
-    inside one task, and each task's output lands in at most a couple of
-    bucket directories, so the downstream partitioned write needs NO
-    repartition exchange (the kernel emits the write's partition columns
-    ``bucket``/``day`` directly)."""
-    from .. import manifest as mf
-
-    n = partitions or int(
-        observed.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    """Observed 1-minute slots -> union-schema stream of all tiers."""
+    return _cluster(observed, partitions).mapInArrow(
+        _fused_iter(tiers, with_pack), FUSED_SCHEMA
     )
-    clustered = (
-        observed.withColumn("bucket", mf.bucket_expr())
-        .repartitionByRange(n, "bucket", "conv_id")
-        .sortWithinPartitions("bucket", "conv_id", "slot_s")
+
+
+_PART_SCHEMA = pa.schema([("bucket", pa.int32()), ("day", pa.date32())])
+
+
+def _write_iter(table_path: str, tiers: tuple[str, ...], with_pack: bool):
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.dataset as pads
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        # kind -> per-batch record batches; one C++ partitioned write each
+        acc: dict[str, list[pa.RecordBatch]] = {}
+        counts: dict[str, np.ndarray] = {}
+        for kind, data, n in _tier_stream(it, tiers, with_pack):
+            if not n:
+                continue
+            schema = _KIND_PA[kind]
+            full = pa.schema(
+                list(schema) + [pa.field("bucket", pa.int32()), pa.field("day", pa.date32())]
+            )
+            acc.setdefault(kind, []).append(record_batch(data, full, n))
+            c = counts.get(kind)
+            bc = np.bincount(data["bucket"], minlength=len(c) if c is not None else 0)
+            counts[kind] = bc if c is None else (
+                bc + np.pad(c, (0, len(bc) - len(c))) if len(bc) >= len(c)
+                else c + np.pad(bc, (0, len(c) - len(bc)))
+            )
+        opts = pads.ParquetFileFormat().make_write_options(compression="zstd")
+        for kind, rbs in acc.items():
+            # Arrow C++ groups rows by (bucket, day) and writes the hive
+            # layout directly — order inside each file is preserved
+            pads.write_dataset(
+                pa.Table.from_batches(rbs),
+                os.path.join(table_path, f"row_kind={kind}"),
+                format="parquet",
+                partitioning=pads.partitioning(_PART_SCHEMA, flavor="hive"),
+                basename_template=f"part-{pid:05d}-{{i}}.parquet",
+                file_options=opts,
+                existing_data_behavior="overwrite_or_ignore",
+                max_partitions=1 << 20,
+                max_open_files=4096,
+            )
+        tiers_out: list[str] = []
+        buckets_out: list[int] = []
+        rows_out: list[int] = []
+        for kind, bc in counts.items():
+            for b in np.flatnonzero(bc):
+                tiers_out.append(TIER_OF_KIND[kind])
+                buckets_out.append(int(b))
+                rows_out.append(int(bc[b]))
+        yield record_batch(
+            {
+                "tier": np.array(tiers_out, dtype=object),
+                "bucket": np.array(buckets_out, dtype=np.int32),
+                "rows": np.array(rows_out, dtype=np.int64),
+            },
+            _STATS_PA,
+            len(tiers_out),
+        )
+
+    return fn
+
+
+def fused_write(
+    observed: DataFrame,
+    table_path: str,
+    tiers: tuple[str, ...] = ("1h", "1d"),
+    partitions: int | None = None,
+    with_pack: bool = True,
+) -> DataFrame:
+    """Observed 1-minute slots -> partitioned tier table on disk.
+
+    Returns the (lazy) per-(tier, bucket) row-count stats DataFrame; the
+    caller's action on it IS the write job."""
+    return _cluster(observed, partitions).mapInArrow(
+        _write_iter(table_path, tiers, with_pack), STATS_SCHEMA
     )
-    return clustered.mapInArrow(_fused_iter(tiers, with_pack), FUSED_SCHEMA)
 
 
 def slot_tier(fused: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
     return fused.where(F.col("row_kind") == "slot").select(*TIER_1M_COLS)
 
 
 def agg_tier(fused: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
     return fused.where(F.col("row_kind") == "agg").select(*ROLLUP_COLS)
 
 
 def pack_tier(fused: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
     return fused.where(F.col("row_kind") == "pack").select(*PACK_COLS)

@@ -76,33 +76,25 @@ def _rollup_iter(tiers: tuple[str, ...]):
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for tbl in arrow_conv_batches(it):
             cid = tbl["conv_id"]
-            grid = _grid_arrays(tbl)
+            flat = _grid_arrays(tbl)
             starts, bounds = conv_bounds(cid)
-            out: dict[str, list[np.ndarray]] = {k: [] for k in engine_core.ROLLUP_COLS}
-            piece_conv: list = []
-            piece_tier: list[str] = []
-            piece_len: list[int] = []
-            for i in range(len(starts)):
-                sl = slice(bounds[i], bounds[i + 1])
-                conv_grid = {k: v[sl] for k, v in grid.items()}
-                for tier in tiers:
-                    res = engine_core.rollup_conv(
-                        conv_grid, engine_core.TIER_SECONDS[tier]
-                    )
-                    for k in engine_core.ROLLUP_COLS:
-                        out[k].append(res[k])
-                    piece_conv.append(cid[starts[i]])
-                    piece_tier.append(tier)
-                    piece_len.append(len(res["window_start_s"]))
-            lens = np.array(piece_len, dtype=np.int64)
+            conv_arr = cid[starts]
+            parts = [
+                (t, *engine_core.rollup_flat(flat, bounds, engine_core.TIER_SECONDS[t]))
+                for t in tiers
+            ]
             data = {
-                "conv_id": np.repeat(np.array(piece_conv, dtype=object), lens),
-                "tier": np.repeat(np.array(piece_tier, dtype=object), lens),
-                "window_start": np.concatenate(out["window_start_s"]) * 1_000_000,
+                "conv_id": np.concatenate([conv_arr[cw] for _t, _c, cw in parts]),
+                "tier": np.concatenate(
+                    [np.full(len(cw), t, dtype=object) for t, _c, cw in parts]
+                ),
+                "window_start": np.concatenate(
+                    [c["window_start_s"] for _t, c, _w in parts]
+                ) * 1_000_000,
             }
             for k in engine_core.ROLLUP_COLS:
                 if k != "window_start_s":
-                    data[k] = np.concatenate(out[k])
+                    data[k] = np.concatenate([c[k] for _t, c, _w in parts])
             yield record_batch(data, _ROLLUP_PA)
 
     return fn
@@ -154,37 +146,17 @@ def rollup_sums_catalyst(t1m: DataFrame, tier: str, salt_buckets: int = 16) -> D
 def _pack_iter(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for tbl in arrow_conv_batches(it):
         cid = tbl["conv_id"]
-        grid = _grid_arrays(tbl)
+        flat = _grid_arrays(tbl)
         starts, bounds = conv_bounds(cid)
-        conv_col: list = []
-        win: list[int] = []
-        n: list[int] = []
-        first_ts: list[int] = []
-        first_val: list[float] = []
-        ts_d2: list[bytes] = []
-        vals_g: list[bytes] = []
-        for i in range(len(starts)):
-            sl = slice(bounds[i], bounds[i + 1])
-            conv_grid = {
-                "slot_start_s": grid["slot_start_s"][sl],
-                "alen_whit": grid["alen_whit"][sl],
-            }
-            for r in engine_core.pack_conv(conv_grid, 3600):
-                conv_col.append(cid[starts[i]])
-                win.append(r[0] * 1_000_000)
-                n.append(r[1])
-                first_ts.append(r[2])
-                first_val.append(r[3])
-                ts_d2.append(r[4])
-                vals_g.append(r[5])
+        cols, cw = engine_core.pack_flat(flat, bounds, 3600)
         data = {
-            "conv_id": conv_col,
-            "window_start": np.array(win, dtype=np.int64),
-            "n": np.array(n, dtype=np.int32),
-            "first_ts": np.array(first_ts, dtype=np.int64),
-            "first_val": np.array(first_val, dtype=np.float64),
-            "ts_d2": ts_d2,
-            "vals_gorilla": vals_g,
+            "conv_id": cid[starts][cw],
+            "window_start": cols["window_start_s"] * 1_000_000,
+            "n": cols["n"],
+            "first_ts": cols["first_ts"],
+            "first_val": cols["first_val"],
+            "ts_d2": cols["ts_d2"],
+            "vals_gorilla": cols["vals_gorilla"],
         }
         yield record_batch(data, _PACK_PA)
 

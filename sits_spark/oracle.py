@@ -125,18 +125,17 @@ def rollup(t1m: pd.DataFrame, tier: str) -> pd.DataFrame:
 
 def pack_1h(t1m: pd.DataFrame) -> pd.DataFrame:
     """Gorilla-pack the smoothed 1m band per (conv, 1h window)."""
-    rows = []
+    frames = []
     for conv_id, g in t1m.groupby("conv_id", sort=True):
         grid = {
             "slot_start_s": g["slot_start"].to_numpy().astype("datetime64[s]").astype(np.int64),
             "alen_whit": g["alen_whit"].to_numpy(),
         }
-        for r in engine_core.pack_conv(grid, 3600):
-            rows.append((conv_id, *r))
-    out = pd.DataFrame(
-        rows,
-        columns=["conv_id", "window_start_s", "n", "first_ts", "first_val", "ts_d2", "vals_gorilla"],
-    )
+        cols = engine_core.pack_conv(grid, 3600)
+        df = pd.DataFrame(cols)
+        df.insert(0, "conv_id", conv_id)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
     out["window_start"] = (
         out.pop("window_start_s").to_numpy().astype("datetime64[s]").astype("datetime64[us]")
     )

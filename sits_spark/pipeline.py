@@ -140,21 +140,28 @@ class RollupPipeline:
             if len(group) != self.n_buckets:
                 df = df.where(mf.bucket_expr().isin(group))
             observed = regularize.observed_slots(df)
-            f = fused.fused_tiers(
-                observed, tiers, self.range_partitions, with_pack=with_pack
+            stats = fused.fused_write(
+                observed,
+                self.table_path,
+                tiers,
+                self.range_partitions,
+                with_pack=with_pack,
             )
             self._drop_bucket_dirs(group)
-            (
-                f.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("row_kind", "bucket", "day")
-                .parquet(self.table_path)
+            # collecting the stats IS the write action; counts feed lineage
+            counts = {
+                (r["tier"], r["bucket"]): r["rows"]
+                for r in stats.groupBy("tier", "bucket")
+                .agg(F.sum("rows").alias("rows"))
+                .collect()
+            }
+            self.store.commit(
+                [
+                    (t, b, fp, counts.get((t, b), 0), run_id)
+                    for t in tier_names
+                    for b in group
+                ]
             )
-            rows = []
-            for t in tier_names:
-                counts = mf.footer_counts(self.tier_path(t))
-                rows += [(t, b, fp, counts.get(b, 0), run_id) for b in group]
-            self.store.commit(rows)
         return out
 
     # -- readers ---------------------------------------------------------

@@ -105,10 +105,13 @@ def ts_reduce_skew_kurt(spark, sf_dir):
     """t_skewness / t_kurtosis with the reference's exact formulas
     (/root/reference/src/reduce_fns.cpp:37-60), two-pass central moments."""
     e = _t(spark, sf_dir, "events")
+    # two-pass central moments (power-sum single-pass would be one scan
+    # but catastrophically cancels for |x| >> sd); the means side grows
+    # with key cardinality, so it shuffle-joins — never broadcasts
     means = e.groupBy("user_id").agg(
         (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("value")).alias("m")
     )
-    j = e.join(F.broadcast(means), "user_id")
+    j = e.join(means, "user_id")
     d = F.col("value") - F.col("m")
     n = F.count("value").cast("double")
     m3 = F.sum(d * d * d) / n
@@ -472,7 +475,7 @@ def ts_json_props(spark, sf_dir):
 
 
 SQL_TS_JSON_PROPS = """
-SELECT event_type, sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+SELECT event_type, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        count(CAST(props->>'k' AS BIGINT)) AS n_k
 FROM events GROUP BY 1
 """
@@ -491,12 +494,14 @@ def join_dim_rollup(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    # nation/region are bounded (25/5 rows) -> broadcast; the
+    # customer-derived dim scales with the data -> shuffle join
     dim = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(F.col("c_custkey"), F.col("r_name"))
     )
-    j = e.join(F.broadcast(dim), e.user_id == dim.c_custkey)
+    j = e.join(dim, e.user_id == dim.c_custkey)
     return j.groupBy("r_name").agg(
         F.count(F.lit(1)).alias("n_events"),
         _r6(
@@ -720,7 +725,9 @@ _MINHASH_AB = [(97 + 13 * i, 31 + 7 * i) for i in range(_MINHASH_K)]
 def doc_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates: portable word hash
     h(w) = int(md5(w)[:8], 16); k=8 permutations (a*h+b) mod p; 4 bands of
-    2 rows; candidate pairs share >= 1 band."""
+    2 rows each; candidate pairs collide on >= 1 band (OR across bands —
+    the banding recall structure of the LSH scheme). The pair join is
+    keyed on (band_id, band_key), so only same-band collisions meet."""
     d = _t(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("w")
@@ -739,16 +746,29 @@ def doc_minhash_lsh(spark, sf_dir):
     )
     bands = mins.select(
         "doc_id",
-        F.concat_ws(
-            ":", *[F.col(f"m{i}").cast("string") for i in range(_MINHASH_K)]
-        ).alias("band"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.concat_ws(
+                            ":",
+                            F.col(f"m{2 * bi}").cast("string"),
+                            F.col(f"m{2 * bi + 1}").cast("string"),
+                        ).alias("key"),
+                    )
+                    for bi in range(_MINHASH_K // 2)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.key").alias("key"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -763,16 +783,21 @@ def _sql_minhash() -> str:
         f"min(({a} * h + {b}) % {_MINHASH_P}) AS m{i}"
         for i, (a, b) in enumerate(_MINHASH_AB)
     )
-    bands = " || ':' || ".join(f"CAST(m{i} AS VARCHAR)" for i in range(_MINHASH_K))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_id, CAST(m{2 * bi} AS VARCHAR) || ':' || "
+        f"CAST(m{2 * bi + 1} AS VARCHAR) AS key FROM mins"
+        for bi in range(_MINHASH_K // 2)
+    )
     return f"""
 WITH words AS (
   SELECT DISTINCT doc_id, w FROM documents, UNNEST(regexp_split_to_array(text, '\\s+')) AS t(w)
 ),
 h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words),
 mins AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
-bands AS (SELECT doc_id, {bands} AS band FROM mins)
+bands AS ({band_rows})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
 """
 
 
@@ -953,7 +978,8 @@ def emb_label_knn_purity(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
     )
-    j = knn.join(F.broadcast(e), "neighbor_id")
+    # knn is k*n_queries rows (tiny); the label table scales with data
+    j = e.join(F.broadcast(knn), "neighbor_id")
     cnt = j.groupBy("query_id", "n_label").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("n_label"))
     return (
@@ -1008,3 +1034,353 @@ REGISTRY: dict[str, tuple] = {
     "emb_lsh_buckets": (emb_lsh_buckets, SQL_EMB_LSH_BUCKETS),
     "emb_label_knn_purity": (emb_label_knn_purity, SQL_EMB_LABEL_KNN_PURITY),
 }
+
+
+# ---------------------------------------------------------------------------
+# E. round-2 additions: bucketed ANN, spectral/focal/uncertainty kernels,
+#    stratified sampling, ensemble combine, bayts change detection
+# ---------------------------------------------------------------------------
+
+
+def emb_ann_lsh_topk(spark, sf_dir):
+    """Bucketed ANN join — the 100 TB path for kNN: sign-LSH buckets
+    (emb_lsh_buckets) partition the corpus; each query searches only ITS
+    bucket (equi-join on bucket, no cartesian), cosine re-ranked within.
+    Recall < exact kNN by design; the exact crossJoin baseline
+    (emb_knn_cosine) stays as the quality yardstick."""
+    b = emb_lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
+    e = _t(spark, sf_dir, "embeddings")
+    eb = e.join(b, "vec_id")
+    q = eb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "bucket",
+    )
+    c = eb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        "bucket",
+    )
+    j = c.join(F.broadcast(q), "bucket").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = j.select("query_id", "neighbor_id", _r6(sim).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+SQL_EMB_ANN_LSH_TOPK = f"""
+WITH bk AS ({_sql_lsh()}),
+q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, bk.bucket
+      FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id WHERE e.vec_id < 10),
+c AS (SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS cv, bk.bucket
+      FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(round(list_dot_product(qv, cv) /
+              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS DOUBLE) AS cosine
+  FROM c JOIN q ON c.bucket = q.bucket WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s
+) WHERE rank <= 5
+"""
+
+
+def ts_mse_spectral(spark, sf_dir):
+    """t_mse — mean spectral energy of each series
+    (/root/reference/src/reduce_fns.cpp:73-76: mean(|FFT(x)|^2)). By
+    Parseval's theorem sum_k |FFT(x)_k|^2 = n * sum_i x_i^2 exactly, so
+    mean spectral energy == sum of squares — computed as an exact decimal
+    aggregate instead of a per-series FFT (the numpy FFT equivalence is
+    asserted in tests/test_kernels.py)."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value").cast(_DEC)
+    return e.groupBy("user_id").agg(
+        _r6(F.sum(v * v).cast("double")).alias("v_mse")
+    )
+
+
+SQL_TS_MSE_SPECTRAL = f"""
+SELECT user_id,
+       CAST(round(CAST(sum(CAST(value AS {_DEC}) * CAST(value AS {_DEC})) AS DOUBLE), 6) AS DOUBLE) AS v_mse
+FROM events GROUP BY user_id
+"""
+
+
+def ts_rolling_focal(spark, sf_dir):
+    """Focal/rolling window kernels over +-2 neighbors
+    (/root/reference/src/kernel.cpp:62-89 w_mean/w_sd/w_min/w_max/w_median,
+    applied along the series axis per /root/reference/R/api_apply.R:284-330):
+    frame = 5 rows centered on each event in (ts, event_id) order."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        "user_id",
+        _r6(F.avg(v).over(w)).alias("w_mean"),
+        _r6(F.stddev_samp(v).over(w)).alias("w_sd"),
+        F.min(v).over(w).alias("w_min"),
+        F.max(v).over(w).alias("w_max"),
+        _r6(F.expr(
+            "percentile(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)"
+        )).alias("w_median"),
+    )
+
+
+SQL_TS_ROLLING_FOCAL = """
+SELECT event_id, user_id,
+       CAST(round(avg(value) OVER w, 6) AS DOUBLE) AS w_mean,
+       CAST(round(stddev_samp(value) OVER w, 6) AS DOUBLE) AS w_sd,
+       min(value) OVER w AS w_min,
+       max(value) OVER w AS w_max,
+       CAST(round(CAST(quantile_cont(value, 0.5) OVER w AS DOUBLE), 6) AS DOUBLE) AS w_median
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+
+def ts_softmax_probs(spark, sf_dir):
+    """Softmax over per-class scores (/root/reference/src/softmax.cpp:15-37,
+    including its global-max log-sum-exp stabilization): scores = mean
+    value per (user, event_type) / 100; global max shared exactly like the
+    reference's max over the whole matrix."""
+    e = _t(spark, sf_dir, "events")
+    score = (
+        F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1)) / F.lit(100.0)
+    )
+    sc = e.groupBy("user_id", "event_type").agg(score.alias("s"))
+    gmax = sc.agg(F.max("s").alias("gm"))
+    j = sc.crossJoin(F.broadcast(gmax))
+    w = Window.partitionBy("user_id")
+    scale = F.col("gm") + F.log(F.sum(F.exp(F.col("s") - F.col("gm"))).over(w))
+    return j.select(
+        "user_id",
+        "event_type",
+        _r6(F.exp(F.col("s") - scale)).alias("p_softmax"),
+    )
+
+
+SQL_TS_SOFTMAX_PROBS = f"""
+WITH sc AS (
+  SELECT user_id, event_type,
+         CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) / count(*) / 100.0 AS s
+  FROM events GROUP BY 1, 2
+),
+gm AS (SELECT max(s) AS gm FROM sc)
+SELECT user_id, event_type,
+       CAST(round(exp(s - (gm + ln(sum(exp(s - gm)) OVER (PARTITION BY user_id)))), 6) AS DOUBLE) AS p_softmax
+FROM sc, gm
+"""
+
+
+def ts_uncertainty_margin(spark, sf_dir):
+    """Uncertainty margin + least-confidence + normalized entropy
+    (/root/reference/src/uncertainty.cpp:7-25): over each user's
+    event_type probability vector. margin = 1 - (p1 - p2);
+    least_conf = 1 - max(p); entropy normalized by log(n_classes)."""
+    e = _t(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id")
+    p = F.col("n").cast("double") / F.sum("n").over(w)
+    probs = cnt.select("user_id", p.alias("p"))
+    rk = Window.partitionBy("user_id").orderBy(F.desc("p"))
+    ranked = probs.withColumn("rn", F.row_number().over(rk))
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            _r6(
+                F.lit(1.0)
+                - (
+                    F.max(F.when(F.col("rn") == 1, F.col("p")))
+                    - F.coalesce(F.max(F.when(F.col("rn") == 2, F.col("p"))), F.lit(0.0))
+                )
+            ).alias("u_margin"),
+            _r6(F.lit(1.0) - F.max("p")).alias("u_least_conf"),
+            _r6(-F.sum(F.col("p") * F.log("p")) / F.log(F.count(F.lit(1)).cast("double"))).alias("u_entropy_norm"),
+        )
+    )
+
+
+SQL_TS_UNCERTAINTY_MARGIN = """
+WITH cnt AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+p AS (SELECT user_id, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY user_id) AS p FROM cnt),
+r AS (SELECT user_id, p, row_number() OVER (PARTITION BY user_id ORDER BY p DESC) AS rn FROM p)
+SELECT user_id,
+       CAST(round(1.0 - (max(CASE WHEN rn = 1 THEN p END)
+            - coalesce(max(CASE WHEN rn = 2 THEN p END), 0.0)), 6) AS DOUBLE) AS u_margin,
+       CAST(round(1.0 - max(p), 6) AS DOUBLE) AS u_least_conf,
+       CAST(round(-sum(p * ln(p)) / ln(CAST(count(*) AS DOUBLE)), 6) AS DOUBLE) AS u_entropy_norm
+FROM r GROUP BY user_id
+"""
+
+
+_STRATA_FRACTIONS = {"click": 4, "view": 8, "purchase": 1, "error": 2, "signup": 16}
+
+
+def ts_stratified_sample(spark, sf_dir):
+    """Stratified sampling with per-label fractions — sits_sample /
+    sits_stratified's per-class allocation
+    (/root/reference/R/sits_sample_functions.R:27, R/api_tibble.R:278-291)
+    made deterministic: stratum fraction 1/d via md5(event_id) mod d == 0
+    (sampleBy semantics, portable to the oracle; Bernoulli-seed sampleBy
+    is not cross-engine reproducible)."""
+    e = _t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast("long")
+    denom = F.create_map(
+        *[x for k, v in _STRATA_FRACTIONS.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("event_type")]
+    return e.where(h % denom == 0).select("event_id", "user_id", "event_type", "value")
+
+
+def _sql_strata() -> str:
+    case = " ".join(
+        f"WHEN event_type = '{k}' THEN {v}" for k, v in _STRATA_FRACTIONS.items()
+    )
+    return f"""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+      % (CASE {case} END) = 0
+"""
+
+
+SQL_TS_STRATIFIED_SAMPLE = _sql_strata()
+
+
+def ts_ensemble_combine(spark, sf_dir):
+    """Ensemble combine — weighted average of two probability models
+    (/root/reference/src/combine_data.cpp:6-40 C_combine_processing,
+    R/sits_combine_predictions.R): model A = count-based probs, model B =
+    value-share probs; combined = 0.6 A + 0.4 B; plus argmax label."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(_DEC)).alias("sv"),
+    )
+    w = Window.partitionBy("user_id")
+    pa_ = F.col("n").cast("double") / F.sum("n").over(w)
+    pb = F.col("sv").cast("double") / F.sum("sv").over(w).cast("double")
+    comb = g.select(
+        "user_id", "event_type", (pa_ * 0.6 + pb * 0.4).alias("p_comb")
+    )
+    rk = Window.partitionBy("user_id").orderBy(F.desc("p_comb"), F.asc("event_type"))
+    return comb.select(
+        "user_id",
+        "event_type",
+        _r6(F.col("p_comb")).alias("p_comb"),
+        (F.row_number().over(rk) == 1).alias("is_argmax"),
+    )
+
+
+SQL_TS_ENSEMBLE_COMBINE = f"""
+WITH g AS (
+  SELECT user_id, event_type, count(*) AS n, sum(CAST(value AS {_DEC})) AS sv
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT user_id, event_type,
+         (CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY user_id)) * 0.6
+         + (CAST(sv AS DOUBLE) / CAST(sum(sv) OVER (PARTITION BY user_id) AS DOUBLE)) * 0.4 AS p_comb
+  FROM g
+)
+SELECT user_id, event_type, CAST(round(p_comb, 6) AS DOUBLE) AS p_comb,
+       row_number() OVER (PARTITION BY user_id ORDER BY p_comb DESC, event_type ASC) = 1 AS is_argmax
+FROM c
+"""
+
+# bayts-style change detection constants: two gaussian hypotheses over the
+# value band (stable regime vs changed regime) and the flagging threshold
+_BAYTS_MU_F, _BAYTS_SD_F = 80.0, 40.0
+_BAYTS_MU_N, _BAYTS_SD_N = 160.0, 60.0
+_BAYTS_BWF_LO, _BAYTS_BWF_HI = 0.1, 0.9
+_BAYTS_TAU = 2.0  # threshold on cumulative log-odds
+
+
+def ts_bayts_change(spark, sf_dir):
+    """bayts-style sequential change detection
+    (/root/reference/src/bayts_fns.cpp:44-120 C_bayts_calc_nf +
+    C_bayts_calc_pbayes; R/sits_detect_change.R): per-observation
+    conditional probability p = phi_changed(v) / (phi_changed(v) +
+    phi_stable(v)) clamped to the bwf range, chained by Bayes' rule. In
+    odds space the chain is a cumulative SUM of log-odds, which makes the
+    sequential update a window aggregation; the per-step log-odds are
+    rounded to 6 dp and fixed-pointed so the cumulative comparison is
+    integer-exact on both engines. Emits each user's first flagged ts."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value")
+
+    def phi(mu, sd):
+        return F.exp(-((v - mu) ** 2) / (2.0 * sd * sd)) / (sd * F.sqrt(F.lit(2.0) * F.lit(3.141592653589793)))
+
+    p = phi(_BAYTS_MU_N, _BAYTS_SD_N) / (phi(_BAYTS_MU_N, _BAYTS_SD_N) + phi(_BAYTS_MU_F, _BAYTS_SD_F))
+    p = F.greatest(F.least(p, F.lit(_BAYTS_BWF_HI)), F.lit(_BAYTS_BWF_LO))
+    # fixed-point via floor of identical doubles (cast-to-long truncates
+    # in Spark but rounds in DuckDB; floor is identical in both)
+    llr_fp = F.floor(F.log(p / (F.lit(1.0) - p)) * 1_000_000)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(llr_fp.cast("long")).over(w)  # floor() returns long already
+    flagged = e.select("user_id", "ts", cum.alias("cum_llr_fp")).where(
+        F.col("cum_llr_fp") >= int(_BAYTS_TAU * 1_000_000)
+    )
+    return flagged.groupBy("user_id").agg(
+        F.min("ts").alias("change_ts"),
+        F.max("cum_llr_fp").alias("max_cum_llr_fp"),
+    )
+
+
+SQL_TS_BAYTS_CHANGE = f"""
+WITH llr AS (
+  SELECT user_id, ts, event_id,
+    CAST(floor(ln(p / (1.0 - p)) * 1000000) AS BIGINT) AS llr_fp
+  FROM (
+    SELECT user_id, ts, event_id,
+      greatest(least(pn / (pn + pf), {_BAYTS_BWF_HI}), {_BAYTS_BWF_LO}) AS p
+    FROM (
+      SELECT user_id, ts, event_id,
+        exp(-pow(value - {_BAYTS_MU_N}, 2) / (2.0 * {_BAYTS_SD_N} * {_BAYTS_SD_N})) / ({_BAYTS_SD_N} * sqrt(2.0 * 3.141592653589793)) AS pn,
+        exp(-pow(value - {_BAYTS_MU_F}, 2) / (2.0 * {_BAYTS_SD_F} * {_BAYTS_SD_F})) / ({_BAYTS_SD_F} * sqrt(2.0 * 3.141592653589793)) AS pf
+      FROM events
+    )
+  )
+),
+cum AS (
+  SELECT user_id, ts,
+    sum(llr_fp) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_llr_fp
+  FROM llr
+)
+SELECT user_id, min(ts) AS change_ts, CAST(max(cum_llr_fp) AS BIGINT) AS max_cum_llr_fp
+FROM cum WHERE cum_llr_fp >= {int(_BAYTS_TAU * 1_000_000)}
+GROUP BY user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "emb_ann_lsh_topk": (emb_ann_lsh_topk, SQL_EMB_ANN_LSH_TOPK),
+        "ts_mse_spectral": (ts_mse_spectral, SQL_TS_MSE_SPECTRAL),
+        "ts_rolling_focal": (ts_rolling_focal, SQL_TS_ROLLING_FOCAL),
+        "ts_softmax_probs": (ts_softmax_probs, SQL_TS_SOFTMAX_PROBS),
+        "ts_uncertainty_margin": (ts_uncertainty_margin, SQL_TS_UNCERTAINTY_MARGIN),
+        "ts_stratified_sample": (ts_stratified_sample, SQL_TS_STRATIFIED_SAMPLE),
+        "ts_ensemble_combine": (ts_ensemble_combine, SQL_TS_ENSEMBLE_COMBINE),
+        "ts_bayts_change": (ts_bayts_change, SQL_TS_BAYTS_CHANGE),
+    }
+)

@@ -1,14 +1,23 @@
-"""Transcript-engine queries for the driver contract (rows-only checks).
+"""Transcript-engine queries for the driver contract.
 
 These run the actual rollup engine on the deterministic synthetic
-transcript table (BASELINE.json input_hint — generated in-process, seeded;
-the driver's sf tables are not transcript-shaped). They are not
-SQL-expressible (grouped pandas-UDF kernels: gap fill, Savitzky-Golay,
-Whittaker, Gorilla packing), so no oracle_sql entries exist — pytest
-byte-matches them against the single-node oracle instead
-(tests/test_spark_pipeline.py)."""
+transcript table (BASELINE.json input_hint — the driver's sf tables are
+not transcript-shaped). The fixture is also materialized to a stable
+parquet path so DuckDB can read the SAME input via ``read_parquet``:
+
+- The ``*_ints`` / ``*_meta`` queries project the exactly-integer (or
+  single-division float) columns of each tier, which ARE SQL-expressible
+  — they give the driver hard hash-checked oracles over the real engine
+  path (Catalyst slot agg + mapInArrow grid kernels).
+- The four full-tier queries include the smoothed float bands
+  (Savitzky-Golay, Whittaker, Gorilla blobs) which no SQL engine
+  reproduces; they stay rows-only here and are byte-matched against the
+  single-node oracle in pytest (tests/test_spark_pipeline.py).
+"""
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -18,11 +27,36 @@ from .operators import regularize, rollup
 
 _N_CONVS = 150
 _SEED = 42
+_HOT = 1500
+
+# stable on-disk copy of the fixture so the DuckDB oracle reads the same rows
+FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".data",
+    "transcripts_oracle_v1",
+    "transcripts.parquet",
+)
+
+
+def ensure_fixture() -> str:
+    """Write the deterministic fixture parquet once (atomic publish)."""
+    if not os.path.exists(FIXTURE_PATH):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(FIXTURE_PATH), exist_ok=True)
+        pdf = fixtures.gen_transcripts(_N_CONVS, seed=_SEED, hot_turns=_HOT)
+        tmp = FIXTURE_PATH + ".tmp"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, FIXTURE_PATH)
+    return FIXTURE_PATH
 
 
 def _transcripts(spark: SparkSession) -> DataFrame:
-    pdf = fixtures.gen_transcripts(_N_CONVS, seed=_SEED, hot_turns=1500)
-    return spark.createDataFrame(pdf)
+    return spark.read.parquet(ensure_fixture())
+
+
+# -- full-tier queries (rows-only: smoothed floats are not SQL) ------------
 
 
 def transcript_tier_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,9 +82,157 @@ def transcript_packed_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.pack_blocks(t1m)
 
 
+# -- driver-oracle projections (hash-checked vs DuckDB) --------------------
+
+
+def transcript_slots_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed 1-minute slots (the Catalyst aggregation stage of the
+    pipeline) — every measure an exact int64."""
+    return regularize.observed_slots(_transcripts(spark)).orderBy(
+        "conv_id", "slot_s"
+    )
+
+
+def transcript_grid_1m_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1m grid (gap slots materialized by the mapInArrow kernel),
+    integer projection."""
+    t1m = regularize.tier_1m(_transcripts(spark))
+    return t1m.select(
+        "conv_id",
+        F.col("slot_start").cast("long").alias("slot_s"),
+        "present",
+        "n_turns",
+        "tokens_user",
+        "tokens_assistant",
+        "tokens_tool",
+        "tool_calls",
+    )
+
+
+def _agg_ints(spark: SparkSession, tier: str) -> DataFrame:
+    t1m = regularize.tier_1m(_transcripts(spark))
+    agg = rollup.rollup_tiers(t1m, (tier,)).where(F.col("tier") == tier)
+    return agg.select(
+        "conv_id",
+        F.col("window_start").cast("long").alias("window_s"),
+        "n_slots",
+        "n_turns",
+        "tokens_user",
+        "tokens_assistant",
+        "tokens_tool",
+        "tool_calls",
+        "turn_rate",
+    )
+
+
+def transcript_agg_1h_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h tier through the engine kernels, integer/exact projection
+    (turn_rate = one int/int division — bit-deterministic)."""
+    return _agg_ints(spark, "1h")
+
+
+def transcript_agg_1d_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1d tier through the engine kernels, integer/exact projection."""
+    return _agg_ints(spark, "1d")
+
+
+def transcript_pack_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-block metadata (window, point count, first timestamp) —
+    the SQL-checkable envelope of the Gorilla blocks."""
+    pk = transcript_packed_1h(spark, sf_dir)
+    return pk.select(
+        "conv_id",
+        F.col("window_start").cast("long").alias("window_s"),
+        F.col("n").cast("long").alias("n_points"),
+        "first_ts",
+    )
+
+
+def _sql_obs(extra: str = "") -> str:
+    return f"""
+SELECT conv_id, (CAST(epoch_us(ts) AS BIGINT) // 60000000) * 60 AS slot_s,
+       count(*) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN length(text) // 4 ELSE 0 END) AS BIGINT) AS tokens_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN length(text) // 4 ELSE 0 END) AS BIGINT) AS tokens_assistant,
+       CAST(sum(CASE WHEN role = 'tool' THEN length(text) // 4 ELSE 0 END) AS BIGINT) AS tokens_tool,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tool_calls,
+       CAST(sum(CASE WHEN role = 'assistant' THEN length(text) ELSE 0 END) AS BIGINT) AS alen_sum,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS alen_n
+FROM read_parquet('{FIXTURE_PATH}')
+GROUP BY 1, 2{extra}
+"""
+
+
+SQL_TRANSCRIPT_SLOTS_OBS = _sql_obs(" ORDER BY conv_id, slot_s")
+
+_SQL_GRID_BASE = f"""
+WITH obs AS ({_sql_obs()}),
+span AS (SELECT conv_id, min(slot_s) AS s0, max(slot_s) AS s1 FROM obs GROUP BY 1),
+grid AS (SELECT conv_id, unnest(generate_series(s0, s1, 60)) AS slot_s FROM span),
+dense AS (
+  SELECT g.conv_id, g.slot_s,
+         coalesce(o.n_turns, 0) > 0 AS present,
+         coalesce(o.n_turns, 0) AS n_turns,
+         coalesce(o.tokens_user, 0) AS tokens_user,
+         coalesce(o.tokens_assistant, 0) AS tokens_assistant,
+         coalesce(o.tokens_tool, 0) AS tokens_tool,
+         coalesce(o.tool_calls, 0) AS tool_calls
+  FROM grid g LEFT JOIN obs o ON g.conv_id = o.conv_id AND g.slot_s = o.slot_s
+)
+"""
+
+SQL_TRANSCRIPT_GRID_1M_INTS = (
+    _SQL_GRID_BASE
+    + "SELECT conv_id, slot_s, present, n_turns, tokens_user, tokens_assistant, tokens_tool, tool_calls FROM dense"
+)
+
+
+def _sql_agg_ints(seconds: int) -> str:
+    return (
+        _SQL_GRID_BASE
+        + f"""
+SELECT conv_id, (slot_s // {seconds}) * {seconds} AS window_s,
+       count(*) AS n_slots,
+       CAST(sum(n_turns) AS BIGINT) AS n_turns,
+       CAST(sum(tokens_user) AS BIGINT) AS tokens_user,
+       CAST(sum(tokens_assistant) AS BIGINT) AS tokens_assistant,
+       CAST(sum(tokens_tool) AS BIGINT) AS tokens_tool,
+       CAST(sum(tool_calls) AS BIGINT) AS tool_calls,
+       CAST(sum(n_turns) AS DOUBLE) / count(*) AS turn_rate
+FROM dense GROUP BY 1, 2
+"""
+    )
+
+
+SQL_TRANSCRIPT_AGG_1H_INTS = _sql_agg_ints(3600)
+SQL_TRANSCRIPT_AGG_1D_INTS = _sql_agg_ints(86400)
+
+SQL_TRANSCRIPT_PACK_META = (
+    _SQL_GRID_BASE
+    + """
+SELECT conv_id, (slot_s // 3600) * 3600 AS window_s,
+       count(*) AS n_points, min(slot_s) AS first_ts
+FROM dense GROUP BY 1, 2
+"""
+)
+
+
 TRANSCRIPT_QUERIES = {
     "transcript_tier_1m": transcript_tier_1m,
     "transcript_agg_1h": transcript_agg_1h,
     "transcript_agg_1d": transcript_agg_1d,
     "transcript_packed_1h": transcript_packed_1h,
+    "transcript_slots_obs": transcript_slots_obs,
+    "transcript_grid_1m_ints": transcript_grid_1m_ints,
+    "transcript_agg_1h_ints": transcript_agg_1h_ints,
+    "transcript_agg_1d_ints": transcript_agg_1d_ints,
+    "transcript_pack_meta": transcript_pack_meta,
+}
+
+TRANSCRIPT_ORACLES = {
+    "transcript_slots_obs": SQL_TRANSCRIPT_SLOTS_OBS,
+    "transcript_grid_1m_ints": SQL_TRANSCRIPT_GRID_1M_INTS,
+    "transcript_agg_1h_ints": SQL_TRANSCRIPT_AGG_1H_INTS,
+    "transcript_agg_1d_ints": SQL_TRANSCRIPT_AGG_1D_INTS,
+    "transcript_pack_meta": SQL_TRANSCRIPT_PACK_META,
 }
