@@ -33,6 +33,7 @@ __all__ = [
     "temp_max",
     "temp_amplitude",
     "temp_fslope",
+    "temp_mse",
     "temp_skew",
     "temp_kurt",
     "temp_quantile",
@@ -427,6 +428,15 @@ def temp_kurt(mtx: np.ndarray) -> np.ndarray:
     m4 = np.sum((mtx - mean) ** 4, axis=1)
     m2 = np.sum((mtx - mean) ** 2, axis=1) ** 2
     return n * m4 / m2
+
+
+def temp_mse(mtx: np.ndarray) -> np.ndarray:
+    """Mean spectral energy, reduce_fns.cpp:73-76:
+    mean(|FFT(x)|^2) per row (unnormalized DFT, as arma::fft). By
+    Parseval's theorem this equals sum(x^2) exactly; the engine's
+    Catalyst path (queries.ts_mse_spectral) uses that identity — the
+    equivalence is asserted in tests/test_kernels.py."""
+    return np.mean(np.abs(np.fft.fft(mtx, axis=1)) ** 2, axis=1)
 
 
 def temp_quantile(mtx: np.ndarray, p: float) -> np.ndarray:

@@ -26,7 +26,13 @@ def _dec(col: Column, scale: int = 4) -> Column:
 
     decimal(18,4): products stay within 38 digits on both Spark and DuckDB
     (no silent double fallback), and rescaled sums stay under 2^53 so the
-    final decimal->double cast is a single well-defined rounding."""
+    final decimal->double cast is a single well-defined rounding.
+
+    INPUT-DOMAIN CONTRACT: values are quantized to 4 decimal places and
+    must satisfy |v| < 1e14 — out-of-range values overflow to NULL with
+    ANSI off and silently drop from the sum (unlike the reference's raw
+    arma double accumulation). The driver tables' value bands (|v| < 1e4,
+    2 dp) are well inside the contract."""
     return col.cast("decimal(18,4)")
 
 
@@ -56,7 +62,13 @@ def t_median(col: Column) -> Column:
 
 
 def t_quantile(col: Column, p: float) -> Column:
-    """Exact linear-interpolated quantile (reduce_fns.cpp:79-86)."""
+    """Linear-interpolated quantile (reduce_fns.cpp:79-86).
+
+    DOCUMENTED DEVIATION: the reference's arma::quantile is the R type-5
+    definition; this engine standardizes on type-7 (numpy/Spark/DuckDB
+    default linear interpolation) on every path, so q25/q75/IQR can
+    differ from upstream sits for the same data (see also
+    kernels.temp_quantile)."""
     return F.percentile(col, F.lit(p))
 
 
@@ -80,7 +92,12 @@ def t_std(col: Column) -> Column:
 def t_skew(col: Column, mean_col: Column) -> Column:
     """Adjusted Fisher-Pearson skewness with the reference's literal
     adjustment factor sqrt(n(n-1))/n - 2 (reduce_fns.cpp:37-49).
-    Requires the group mean joined back (two-pass)."""
+    Requires the group mean joined back (two-pass).
+
+    Determinism: the d^3 accumulation is a plain double sum, so raw
+    output is shuffle-order sensitive at ~1e-12 relative; results are
+    deterministic only after coarse rounding (callers round to 6 dp, as
+    queries.ts_reduce_skew_kurt does). Do not hash unrounded output."""
     n = F.count(col).cast("double")
     d = col - mean_col
     m3 = F.sum(d * d * d) / n
@@ -90,7 +107,8 @@ def t_skew(col: Column, mean_col: Column) -> Column:
 
 
 def t_kurt(col: Column, mean_col: Column) -> Column:
-    """Pearson kurtosis, normal -> 3.0 (reduce_fns.cpp:52-60)."""
+    """Pearson kurtosis, normal -> 3.0 (reduce_fns.cpp:52-60).
+    Same rounding-dependent determinism contract as t_skew."""
     n = F.count(col).cast("double")
     d = col - mean_col
     m4 = F.sum(d * d * d * d)

@@ -55,3 +55,51 @@ def test_xor_smooth_series_compresses():
     vals = np.round(np.sin(x) * 100, 2)  # smooth, repeating low-entropy diffs
     blob = codec.encode_xor(vals)
     assert len(blob) < 2000 * 8  # beats raw float64
+
+
+# --- vectorized block encoders -------------------------------------------
+
+
+def _ragged_blocks(seed, n_blocks=150):
+    rng = np.random.default_rng(seed)
+    sizes = rng.integers(0, 120, n_blocks)
+    ts_blocks, val_blocks = [], []
+    for n in sizes:
+        ts_blocks.append(np.sort(rng.integers(0, 10**10, n)).astype(np.int64))
+        v = np.where(rng.random(n) < 0.3, np.nan,
+                     rng.choice([1.0, 2.5, 2.5, 3.125, 97.251], n))
+        val_blocks.append(v)
+    flat_ts = np.concatenate(ts_blocks)
+    flat_v = np.concatenate(val_blocks)
+    bounds = np.cumsum([0] + [len(b) for b in ts_blocks])
+    return ts_blocks, val_blocks, flat_ts, flat_v, bounds
+
+
+def test_ts_blocks_bit_identical_to_scalar():
+    ts_blocks, _v, flat_ts, _fv, bounds = _ragged_blocks(7)
+    out = codec.encode_ts_d2_blocks(flat_ts, bounds)
+    for i, b in enumerate(ts_blocks):
+        assert out[i] == codec.encode_ts_d2(b), i
+
+
+def test_xor_blocks_roundtrip_bit_exact():
+    _t, val_blocks, _ft, flat_v, bounds = _ragged_blocks(8)
+    out = codec.encode_xor_blocks(flat_v, bounds)
+    for i, b in enumerate(val_blocks):
+        dec = codec.decode_xor(out[i])
+        assert np.array_equal(dec.view(np.uint64), b.view(np.uint64)), i
+
+
+def test_xor_blocks_edge_sizes_and_nan():
+    blocks = [
+        np.array([], dtype=np.float64),
+        np.array([np.nan]),
+        np.array([1.0, 1.0]),
+        np.array([np.nan, np.nan, 3.0, 3.0, np.nan]),
+    ]
+    flat = np.concatenate(blocks)
+    bounds = np.cumsum([0] + [len(b) for b in blocks])
+    out = codec.encode_xor_blocks(flat, bounds)
+    for i, b in enumerate(blocks):
+        dec = codec.decode_xor(out[i])
+        assert np.array_equal(dec.view(np.uint64), b.view(np.uint64)), i

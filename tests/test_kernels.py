@@ -113,3 +113,13 @@ def test_sgolay_validation():
         kernels.sgolay_coef(3, 4)
     with pytest.raises(ValueError):
         kernels.sgolay_coef(5, 5)
+
+
+def test_temp_mse_parseval_identity():
+    """mean(|FFT(x)|^2) == sum(x^2) (Parseval) — the identity the engine's
+    Catalyst t_mse path relies on (queries.ts_mse_spectral)."""
+    rng = np.random.default_rng(3)
+    mtx = rng.normal(scale=100.0, size=(7, 129))
+    got = kernels.temp_mse(mtx)
+    want = np.sum(mtx * mtx, axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-12)

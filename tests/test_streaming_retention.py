@@ -1,0 +1,102 @@
+"""Streaming ingestion vs batch equality; retention expiry; manifest vacuum.
+
+Backs the claims in sits_spark.streaming / sits_spark.retention docstrings:
+the streaming observed-slot aggregation must equal the batch aggregation
+for every window the watermark has closed, retention must drop exactly the
+day partitions older than the policy cutoff, and vacuum must remove
+manifests of superseded fingerprints only.
+"""
+
+import datetime as dt
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sits_spark import fixtures, retention, streaming
+from sits_spark import manifest as mf
+from sits_spark.operators import regularize
+from sits_spark.pipeline import RollupPipeline
+
+
+@pytest.fixture(scope="module")
+def raw_pdf():
+    return fixtures.gen_transcripts(60, seed=11, hot_turns=800)
+
+
+@pytest.fixture(scope="module")
+def input_path(spark, raw_pdf, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sin") / "transcripts")
+    spark.createDataFrame(raw_pdf).write.parquet(path)
+    return path
+
+
+def test_stream_observed_slots_equal_batch(spark, input_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("s_out"))
+    ckpt = str(tmp_path_factory.mktemp("s_ckpt"))
+    schema = spark.read.parquet(input_path).schema
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    slots = streaming.observed_slots_stream(stream, watermark="10 minutes")
+    q = (
+        streaming.start_observed_sink(slots, out, ckpt, trigger_seconds=1)
+        if False
+        else slots.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    want = regularize.observed_slots(spark.read.parquet(input_path))
+    # append mode only emits windows the final watermark has passed;
+    # compare the common closed prefix
+    max_emitted = got.agg(F.max("slot_s")).collect()[0][0]
+    assert max_emitted is not None, "stream emitted no closed windows"
+    g = got.where(F.col("slot_s") <= max_emitted).orderBy("conv_id", "slot_s").toPandas()
+    w = want.where(F.col("slot_s") <= max_emitted).orderBy("conv_id", "slot_s").toPandas()
+    assert len(g) == len(w) and len(g) > 0
+    for c in w.columns:
+        assert np.array_equal(g[c].to_numpy(), w[c].to_numpy()), c
+
+
+def test_retention_expires_old_day_partitions(spark, input_path, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("r_wh"))
+    pipe = RollupPipeline(spark, wh)
+    pipe.run(input_path, run_id="r1")
+    t1m_root = retention._tier_root(wh, "tier_1m")
+    before = retention._day_partitions(t1m_root)
+    assert before, "tier_1m has day partitions"
+    wm = retention.tier_watermark(t1m_root)
+
+    deleted = retention.apply_retention(
+        wh, policy={"tier_1m": 7, "packed_1h": 30, "agg": 365}, watermark=wm
+    )
+    cutoff = wm - dt.timedelta(days=7)
+    # exactly the pre-cutoff partitions are gone
+    want_deleted = sorted(p for p, d in before if d < cutoff)
+    assert sorted(deleted["tier_1m"]) == want_deleted
+    remaining = retention._day_partitions(t1m_root)
+    assert all(d >= cutoff for _p, d in remaining)
+    # agg keeps everything at 365 days
+    assert deleted["agg"] == []
+    # the expired tier still reads cleanly
+    if remaining:
+        assert pipe.read_tier("tier_1m").count() > 0
+
+
+def test_vacuum_manifest_drops_stale_fingerprints(spark, input_path, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("v_wh"))
+    pipe = RollupPipeline(spark, wh)
+    pipe.run(input_path, run_id="v1")
+    fp1 = mf.input_fingerprint(input_path)
+    # fake an older generation
+    pipe.store.commit([("tier_1m", 0, "deadbeef", 1, "old-run")])
+    removed = retention.vacuum_manifest(spark, wh, keep_fingerprints={fp1})
+    assert removed == 1
+    assert pipe.store.committed_buckets("tier_1m", "deadbeef") == set()
+    assert len(pipe.store.committed_buckets("tier_1m", fp1)) == mf.N_BUCKETS
