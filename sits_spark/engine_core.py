@@ -22,6 +22,25 @@ SG_ORDER, SG_LENGTH = 3, 5
 WHIT_LAMBDA = 0.5
 TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
 
+# --- chunked-smoothing semantics (SURVEY.md §7 hard part 2) ---------------
+# A conversation's minute grid is smoothed in fixed EPOCH-ALIGNED chunks of
+# CHUNK_SLOTS minutes with CHUNK_OVERLAP slots of context on each side,
+# cropped after smoothing — the reference's chunk+overlap+crop pattern
+# (/root/reference/R/api_chunks.R:44-148) applied along time instead of
+# space. Alignment to epoch days (CHUNK_SLOTS % 1440 == 0) means no 1h/1d
+# rollup window ever crosses a chunk, so aggregation is chunk-local too.
+# Consequences, identical in oracle and engine (shared code -> byte-match):
+#   - gap fill is EXACT (linear between global neighbor anchors);
+#   - Savitzky-Golay is BIT-EXACT vs unchunked (FIR of radius 2 << overlap);
+#   - Whittaker is chunk-local: results differ from the unchunked solve
+#     near chunk boundaries by ~1e-9 relative at overlap 64 (asserted in
+#     tests/test_chunked.py) — the documented price of bounding per-task
+#     state for arbitrarily long conversations.
+# Grids at most MAX_UNCHUNKED_SLOTS long smooth unchunked (typical convs).
+CHUNK_SLOTS = 8 * 1440  # 8 epoch-aligned days of minutes
+CHUNK_OVERLAP = 64
+MAX_UNCHUNKED_SLOTS = 2 * CHUNK_SLOTS
+
 GRID_COLS = [
     "slot_start_s",
     "present",
@@ -117,58 +136,104 @@ def fill_flags_mtx(alen: np.ndarray) -> np.ndarray:
     return flag
 
 
-def band_pipeline(alen: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Gap-fill + Savitzky-Golay + Whittaker over a (B, T) band matrix.
+def chunk_bounds(lo_idx: int, t: int) -> np.ndarray:
+    """Relative cut positions of the epoch-aligned chunk grid inside a
+    conv grid starting at absolute slot index ``lo_idx`` with ``t`` slots:
+    [0, cuts..., t]."""
+    first = (lo_idx // CHUNK_SLOTS + 1) * CHUNK_SLOTS
+    cuts = np.arange(first, lo_idx + t, CHUNK_SLOTS, dtype=np.int64) - lo_idx
+    return np.concatenate([[0], cuts, [t]])
 
-    Every kernel is elementwise along rows (no BLAS reductions), so a row's
-    result is bit-identical whether B is 1 (the oracle) or thousands (the
-    engine's length-batched path). All-NULL rows stay NULL (NaN propagates
-    through both smoothers)."""
+
+def smooth_conv(filled: np.ndarray, lo_idx: int) -> tuple[np.ndarray, np.ndarray]:
+    """SG + Whittaker for ONE conv's gap-filled band under the chunked
+    semantics above. ``lo_idx`` = absolute slot index of the grid start."""
+    t = len(filled)
+    mtx = filled.reshape(1, -1)
+    if t <= MAX_UNCHUNKED_SLOTS:
+        return (
+            kernels.smooth_sg_mtx(mtx, order=SG_ORDER, length=SG_LENGTH)[0],
+            kernels.smooth_whit_mtx(mtx, WHIT_LAMBDA)[0],
+        )
+    bounds = chunk_bounds(lo_idx, t)
+    sg = np.empty(t)
+    whit = np.empty(t)
+    for i in range(len(bounds) - 1):
+        a, b = int(bounds[i]), int(bounds[i + 1])
+        ea, eb = max(0, a - CHUNK_OVERLAP), min(t, b + CHUNK_OVERLAP)
+        ext = filled[ea:eb].reshape(1, -1)
+        sg[a:b] = kernels.smooth_sg_mtx(ext, order=SG_ORDER, length=SG_LENGTH)[
+            0, a - ea : (a - ea) + (b - a)
+        ]
+        whit[a:b] = kernels.smooth_whit_mtx(ext, WHIT_LAMBDA)[
+            0, a - ea : (a - ea) + (b - a)
+        ]
+    return sg, whit
+
+
+def band_pipeline(
+    alen: np.ndarray, lo_idx: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gap-fill + Savitzky-Golay + Whittaker over a (1, T) band matrix of
+    ONE conversation starting at absolute slot index ``lo_idx`` (the
+    oracle's single-conv path), under the chunked-smoothing semantics."""
     filled = kernels.linear_interp_mtx(alen)
-    sg = kernels.smooth_sg_mtx(filled, order=SG_ORDER, length=SG_LENGTH)
-    whit = kernels.smooth_whit_mtx(filled, WHIT_LAMBDA)
-    return filled, sg, whit
+    sg, whit = smooth_conv(filled[0], int(lo_idx))
+    return filled, sg.reshape(1, -1), whit.reshape(1, -1)
 
 
 def band_pipeline_rows(
     alen_rows: list[np.ndarray],
+    lo_idxs: list[int] | None = None,
 ) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
     """Gap-fill + SG + Whittaker + flags over a RAGGED batch of series
     (one per conv), bit-identical per row to band_pipeline on (1, T).
 
     Linear fill and flags run per row (np.interp is C-speed); SG batches
     equal-length rows (elementwise kernels); Whittaker runs the ragged
-    prefix solver (kernels.smooth_whit_ragged) over the whole batch at
-    once — the sequential time loops dominate everything else, so this is
-    where batching pays.
+    prefix solver (kernels.smooth_whit_ragged) over the short rows at
+    once. Rows longer than MAX_UNCHUNKED_SLOTS take the chunked
+    smooth_conv path (``lo_idxs`` = absolute start slot index per row).
 
     Returns (filled_rows, sg_rows, whit_rows, flag_rows) in input order.
     """
     n = len(alen_rows)
+    if lo_idxs is None:
+        lo_idxs = [0] * n
     lengths = np.array([len(r) for r in alen_rows], dtype=np.int64)
     filled_rows: list[np.ndarray] = [None] * n  # type: ignore[list-item]
     flag_rows: list[np.ndarray] = [None] * n  # type: ignore[list-item]
     sg_rows: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+    whit_rows: list[np.ndarray] = [None] * n  # type: ignore[list-item]
     by_len: dict[int, list[int]] = {}
+    long_rows: list[int] = []
     for i, r in enumerate(alen_rows):
         mtx = r.reshape(1, -1)
         filled_rows[i] = kernels.linear_interp_mtx(mtx)[0]
         flag_rows[i] = fill_flags_mtx(mtx)[0]
-        by_len.setdefault(len(r), []).append(i)
+        if len(r) > MAX_UNCHUNKED_SLOTS:
+            long_rows.append(i)
+        else:
+            by_len.setdefault(len(r), []).append(i)
     for t, idxs in by_len.items():
         block = np.vstack([filled_rows[i] for i in idxs])
         sg = kernels.smooth_sg_mtx(block, order=SG_ORDER, length=SG_LENGTH)
         for row, i in enumerate(idxs):
             sg_rows[i] = sg[row]
-    order = np.argsort(-lengths, kind="stable")
-    flat = np.concatenate([filled_rows[i] for i in order])
-    sorted_lens = lengths[order]
-    offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(sorted_lens[:-1], out=offsets[1:])
-    whit_flat = kernels.smooth_whit_ragged(flat, offsets, sorted_lens, WHIT_LAMBDA)
-    whit_rows: list[np.ndarray] = [None] * n  # type: ignore[list-item]
-    for pos, i in enumerate(order):
-        whit_rows[i] = whit_flat[offsets[pos] : offsets[pos] + sorted_lens[pos]]
+    short = [i for idxs in by_len.values() for i in idxs]
+    if short:
+        sl = lengths[short]
+        order = np.argsort(-sl, kind="stable")
+        ordered = [short[int(p)] for p in order]
+        flat = np.concatenate([filled_rows[i] for i in ordered])
+        sorted_lens = sl[order]
+        offsets = np.zeros(len(short), dtype=np.int64)
+        np.cumsum(sorted_lens[:-1], out=offsets[1:])
+        whit_flat = kernels.smooth_whit_ragged(flat, offsets, sorted_lens, WHIT_LAMBDA)
+        for pos, i in enumerate(ordered):
+            whit_rows[i] = whit_flat[offsets[pos] : offsets[pos] + sorted_lens[pos]]
+    for i in long_rows:
+        sg_rows[i], whit_rows[i] = smooth_conv(filled_rows[i], int(lo_idxs[i]))
     return filled_rows, sg_rows, whit_rows, flag_rows
 
 
@@ -217,14 +282,16 @@ def scatter_grid_flat(
 
 
 def band_pipeline_flat(
-    alen: np.ndarray, gb: np.ndarray
+    alen: np.ndarray, gb: np.ndarray, lo_idxs: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Gap-fill + flags + SG + Whittaker over MANY convs' concatenated
     band, bit-identical per conv to band_pipeline on (1, T).
 
     Flags and interp run vectorized over the flat array (per-conv edge
     positions from reduceat); SG batches equal-length convs; Whittaker
-    runs the shared ragged prefix solver. Returns flat
+    runs the shared ragged prefix solver over the short convs; convs
+    longer than MAX_UNCHUNKED_SLOTS take the chunked smooth_conv path
+    (``lo_idxs`` = absolute start slot index per conv). Returns flat
     (filled, sg, whit, flags)."""
     n = len(alen)
     n_convs = len(gb) - 1
@@ -261,11 +328,19 @@ def band_pipeline_flat(
         x = np.arange(hi - lo, dtype=np.float64)
         filled[lo:hi] = np.interp(x, x[valid], seg[valid])
 
-    # SG: batch equal-length convs (row-wise kernel)
+    # SG: batch equal-length SHORT convs (row-wise kernel); long convs
+    # take the chunked path below
+    if lo_idxs is None:
+        lo_idxs = np.zeros(n_convs, dtype=np.int64)
     sg = np.empty_like(filled)
+    whit = np.empty(n, dtype=np.float64)
     by_len: dict[int, list[int]] = {}
+    long_convs: list[int] = []
     for c in range(n_convs):
-        by_len.setdefault(int(lengths[c]), []).append(c)
+        if lengths[c] > MAX_UNCHUNKED_SLOTS:
+            long_convs.append(c)
+        else:
+            by_len.setdefault(int(lengths[c]), []).append(c)
     for t, cs in by_len.items():
         rows = np.empty((len(cs), t))
         for r, c in enumerate(cs):
@@ -274,18 +349,27 @@ def band_pipeline_flat(
         for r, c in enumerate(cs):
             sg[gb[c] : gb[c] + t] = out[r]
 
-    # Whittaker: shared ragged solver over the length-sorted batch
-    order = np.argsort(-lengths, kind="stable")
-    sorted_lens = lengths[order]
-    offsets = np.zeros(n_convs, dtype=np.int64)
-    np.cumsum(sorted_lens[:-1], out=offsets[1:])
-    flat_sorted = np.empty(n, dtype=np.float64)
-    for p, c in enumerate(order):
-        flat_sorted[offsets[p] : offsets[p] + sorted_lens[p]] = filled[gb[c] : gb[c + 1]]
-    whit_sorted = kernels.smooth_whit_ragged(flat_sorted, offsets, sorted_lens, WHIT_LAMBDA)
-    whit = np.empty(n, dtype=np.float64)
-    for p, c in enumerate(order):
-        whit[gb[c] : gb[c + 1]] = whit_sorted[offsets[p] : offsets[p] + sorted_lens[p]]
+    # Whittaker: shared ragged solver over the length-sorted short batch
+    short = np.array(
+        [c for cs in by_len.values() for c in cs], dtype=np.int64
+    )
+    if len(short):
+        sl = lengths[short]
+        order = np.argsort(-sl, kind="stable")
+        ordered = short[order]
+        sorted_lens = sl[order]
+        offsets = np.zeros(len(short), dtype=np.int64)
+        np.cumsum(sorted_lens[:-1], out=offsets[1:])
+        flat_sorted = np.empty(int(sorted_lens.sum()), dtype=np.float64)
+        for p, c in enumerate(ordered):
+            flat_sorted[offsets[p] : offsets[p] + sorted_lens[p]] = filled[gb[c] : gb[c + 1]]
+        whit_sorted = kernels.smooth_whit_ragged(flat_sorted, offsets, sorted_lens, WHIT_LAMBDA)
+        for p, c in enumerate(ordered):
+            whit[gb[c] : gb[c + 1]] = whit_sorted[offsets[p] : offsets[p] + sorted_lens[p]]
+    for c in long_convs:
+        s_c, w_c = smooth_conv(filled[gb[c] : gb[c + 1]], int(lo_idxs[c]))
+        sg[gb[c] : gb[c + 1]] = s_c
+        whit[gb[c] : gb[c + 1]] = w_c
     return filled, sg, whit, flags
 
 
@@ -306,7 +390,7 @@ def observed_to_grid(
         tool_calls, alen_sum, alen_n,
     )
     mtx = grid["alen"].reshape(1, -1)
-    filled, sg, whit = band_pipeline(mtx)
+    filled, sg, whit = band_pipeline(mtx, int(grid["slot_start_s"][0]) // 60)
     grid["fill_flag"] = fill_flags_mtx(mtx)[0]
     grid["alen_filled"] = filled[0]
     grid["alen_sg"] = sg[0]

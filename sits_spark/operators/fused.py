@@ -91,7 +91,9 @@ def _tier_stream(
         grid, gb = engine_core.scatter_grid_flat(
             slot, bounds, {c: tbl[c] for c in _OBS_COLS}
         )
-        filled, sg, whit, flags = engine_core.band_pipeline_flat(grid["alen"], gb)
+        filled, sg, whit, flags = engine_core.band_pipeline_flat(
+            grid["alen"], gb, grid["slot_start_s"][gb[:-1]] // 60
+        )
 
         # --- slot rows ---
         lens = np.diff(gb)

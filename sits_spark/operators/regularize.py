@@ -98,7 +98,8 @@ def _grids_of_batch(tbl: dict[str, np.ndarray]) -> pa.RecordBatch:
             engine_core.scatter_grid(slot[sl], *[tbl[c][sl] for c in _OBS_COLS])
         )
     filled, sg, whit, flags = engine_core.band_pipeline_rows(
-        [g["alen"] for g in grids]
+        [g["alen"] for g in grids],
+        [int(g["slot_start_s"][0]) // 60 for g in grids],
     )
     band = {i: (flags[i], filled[i], sg[i], whit[i]) for i in range(n_convs)}
 
