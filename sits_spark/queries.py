@@ -1384,3 +1384,274 @@ REGISTRY.update(
         "ts_bayts_change": (ts_bayts_change, SQL_TS_BAYTS_CHANGE),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# F. round-2 additions II: simhash, cosine near-dup, token counting
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+_SIMHASH_BANDS = 4  # 4 x 16-bit bands; candidates share >= 1 exact band
+
+
+def doc_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (Charikar's scheme): 64-bit signature
+    by per-bit voting of word hashes, then banded candidate pairs — two
+    docs are candidates when any 16-bit quarter of their signatures is
+    equal (standard hamming-<=k prefilter; exact-equality join per band,
+    no all-pairs). Word hash = md5 hex -> two 32-bit halves per word."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("w")
+    )
+    h = words.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("h_lo"),
+    )
+    # per-bit votes: bit b of the 64-bit sig = majority over words of
+    # bit b of (h_hi:h_lo). Sum (2*bit - 1) per bit, sign -> bit.
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h_hi" if b >= 32 else "h_lo"), b % 32) % 2) * 2 - 1
+        ).alias(f"v{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    sig = h.groupBy("doc_id").agg(*votes)
+    band_cols = []
+    for band in range(_SIMHASH_BANDS):
+        bits = [
+            F.when(F.col(f"v{band * 16 + i}") > 0, F.lit(1 << i)).otherwise(0)
+            for i in range(16)
+        ]
+        expr = bits[0]
+        for t in bits[1:]:
+            expr = expr + t
+        band_cols.append(expr.cast("long").alias(f"b{band}"))
+    sigs = sig.select("doc_id", *band_cols)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_id"), F.col(f"b{i}").alias("key"))
+                    for i in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_id", "bd.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _sql_simhash() -> str:
+    votes = ",\n    ".join(
+        f"sum(((h_{'hi' if b >= 32 else 'lo'} >> {b % 32}) % 2) * 2 - 1) AS v{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    band_exprs = []
+    for band in range(_SIMHASH_BANDS):
+        terms = " + ".join(
+            f"(CASE WHEN v{band * 16 + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(16)
+        )
+        band_exprs.append(f"CAST({terms} AS BIGINT) AS b{band}")
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_id, b{i} AS key FROM sigs"
+        for i in range(_SIMHASH_BANDS)
+    )
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM documents, UNNEST(regexp_split_to_array(text, '\\s+')) AS t(w)
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT AS h_hi,
+         ('0x' || substr(md5(w), 9, 8))::BIGINT AS h_lo
+  FROM words
+),
+v AS (SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id),
+sigs AS (SELECT doc_id, {", ".join(band_exprs)} FROM v),
+bands AS ({bands_union})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+SQL_DOC_SIMHASH = _sql_simhash()
+
+
+def emb_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: candidate pairs from sign-LSH buckets
+    (equi-join, no all-pairs), kept when cosine >= 0.9 — the scale path
+    for semantic dedup over an embedding column."""
+    b = emb_lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
+    e = _t(spark, sf_dir, "embeddings").join(b, "vec_id")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
+    c = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    j = a.join(c, "bucket").where(F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        j.select("id_a", "id_b", _r6(sim).alias("cosine"))
+        .where(F.col("cosine") >= 0.9)
+    )
+
+
+SQL_EMB_COSINE_NEARDUP = f"""
+WITH bk AS ({_sql_lsh()}),
+e AS (SELECT emb.vec_id, emb.embedding::DOUBLE[] AS v, bk.bucket
+      FROM embeddings emb JOIN bk ON emb.vec_id = bk.vec_id)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS DOUBLE) AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+"""
+
+
+def doc_token_count(spark, sf_dir):
+    """Token counting two ways (training-data pipeline op): whitespace
+    tokens and a BPE-ish lexer count (runs of word chars | single
+    non-space punctuation — the GPT-2 pre-tokenizer's coarse shape)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), r"\s+"))
+    bpeish = F.size(F.expr(r"regexp_extract_all(text, '[\\w]+|[^\\w\\s]', 0)"))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpeish.alias("bpeish_tokens"),
+        (F.length("text") - bpeish).alias("ws_chars_saved"),
+    )
+
+
+SQL_DOC_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[\w]+|[^\w\s]', 0)) AS bpeish_tokens,
+       length(text) - len(regexp_extract_all(text, '[\w]+|[^\w\s]', 0)) AS ws_chars_saved
+FROM documents
+"""
+
+
+REGISTRY.update(
+    {
+        "doc_simhash": (doc_simhash, SQL_DOC_SIMHASH),
+        "emb_cosine_neardup": (emb_cosine_neardup, SQL_EMB_COSINE_NEARDUP),
+        "doc_token_count": (doc_token_count, SQL_DOC_TOKEN_COUNT),
+    }
+)
+
+
+_BAYES_SMOOTHNESS = 400.0
+
+
+def ts_bayes_smooth(spark, sf_dir):
+    """Bayesian smoother (/root/reference/src/smooth_bayes.cpp:20-78 with
+    neigh_fraction = 1.0): neighborhood = the +-2 window along each
+    user's series; prior m0/s0 = mean/sample-variance of the window;
+    posterior = w*x + (1-w)*m0 with w = s0/(s0 + smoothness); degenerate
+    windows (s0 < 1e-4) and NULL centers collapse to m0."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    m0 = F.avg("value").over(w)
+    s0 = F.var_samp("value").over(w)
+    wt = s0 / (s0 + F.lit(_BAYES_SMOOTHNESS))
+    smoothed = F.when(s0 < 1e-4, m0).otherwise(
+        wt * F.col("value") + (F.lit(1.0) - wt) * m0
+    )
+    return e.select(
+        "event_id", "user_id", _r6(smoothed).alias("v_bayes")
+    )
+
+
+SQL_TS_BAYES_SMOOTH = f"""
+SELECT event_id, user_id,
+  CAST(round(CASE WHEN s0 < 1e-4 THEN m0
+             ELSE (s0 / (s0 + {_BAYES_SMOOTHNESS})) * value
+                  + (1.0 - s0 / (s0 + {_BAYES_SMOOTHNESS})) * m0 END, 6) AS DOUBLE) AS v_bayes
+FROM (
+  SELECT event_id, user_id, value,
+         avg(value) OVER w AS m0,
+         var_samp(value) OVER w AS s0
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+)
+"""
+
+
+def ts_merge_densify(spark, sf_dir):
+    """Cube merge, densify + compactify strategies
+    (/root/reference/R/api_merge.R:144-230): two bands (click/view daily
+    means) on a UNION timeline (densify: full outer join, gaps NULL);
+    ``in_both`` marks the compactified (zipper-overlap) subset."""
+    e = _t(spark, sf_dir, "events")
+
+    def band(t):
+        return (
+            e.where(F.col("event_type") == t)
+            .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+            .agg(
+                _r6(
+                    F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1))
+                ).alias(f"{t}_mean")
+            )
+        )
+
+    a, b = band("click"), band("view")
+    j = a.join(b, ["user_id", "day"], "full_outer")
+    return j.select(
+        "user_id",
+        "day",
+        "click_mean",
+        "view_mean",
+        (F.col("click_mean").isNotNull() & F.col("view_mean").isNotNull()).alias(
+            "in_both"
+        ),
+    )
+
+
+SQL_TS_MERGE_DENSIFY = f"""
+WITH a AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(round(CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) / count(*), 6) AS DOUBLE) AS click_mean
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+b AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(round(CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) / count(*), 6) AS DOUBLE) AS view_mean
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       coalesce(a.day, b.day) AS day,
+       a.click_mean, b.view_mean,
+       a.click_mean IS NOT NULL AND b.view_mean IS NOT NULL AS in_both
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.day = b.day
+"""
+
+
+REGISTRY.update(
+    {
+        "ts_bayes_smooth": (ts_bayes_smooth, SQL_TS_BAYES_SMOOTH),
+        "ts_merge_densify": (ts_merge_densify, SQL_TS_MERGE_DENSIFY),
+    }
+)
