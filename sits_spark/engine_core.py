@@ -36,10 +36,12 @@ TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
 #     near chunk boundaries by ~1e-9 relative at overlap 64 (asserted in
 #     tests/test_chunked.py) — the documented price of bounding per-task
 #     state for arbitrarily long conversations.
-# Grids at most MAX_UNCHUNKED_SLOTS long smooth unchunked (typical convs).
+# Grids that do not cross a chunk boundary smooth unchunked (identical
+# result: a single segment's extended window is the whole grid).
 CHUNK_SLOTS = 8 * 1440  # 8 epoch-aligned days of minutes
 CHUNK_OVERLAP = 64
-MAX_UNCHUNKED_SLOTS = 2 * CHUNK_SLOTS
+# back-compat alias: the longest a non-crossing grid can be
+MAX_UNCHUNKED_SLOTS = CHUNK_SLOTS
 
 GRID_COLS = [
     "slot_start_s",
@@ -145,12 +147,17 @@ def chunk_bounds(lo_idx: int, t: int) -> np.ndarray:
     return np.concatenate([[0], cuts, [t]])
 
 
+def is_crossing(lo_idx: int, t: int) -> bool:
+    """True when a grid [lo_idx, lo_idx + t) crosses a chunk boundary."""
+    return (lo_idx // CHUNK_SLOTS) != ((lo_idx + t - 1) // CHUNK_SLOTS)
+
+
 def smooth_conv(filled: np.ndarray, lo_idx: int) -> tuple[np.ndarray, np.ndarray]:
     """SG + Whittaker for ONE conv's gap-filled band under the chunked
     semantics above. ``lo_idx`` = absolute slot index of the grid start."""
     t = len(filled)
     mtx = filled.reshape(1, -1)
-    if t <= MAX_UNCHUNKED_SLOTS:
+    if not is_crossing(lo_idx, t):
         return (
             kernels.smooth_sg_mtx(mtx, order=SG_ORDER, length=SG_LENGTH)[0],
             kernels.smooth_whit_mtx(mtx, WHIT_LAMBDA)[0],
@@ -192,7 +199,7 @@ def band_pipeline_rows(
     Linear fill and flags run per row (np.interp is C-speed); SG batches
     equal-length rows (elementwise kernels); Whittaker runs the ragged
     prefix solver (kernels.smooth_whit_ragged) over the short rows at
-    once. Rows longer than MAX_UNCHUNKED_SLOTS take the chunked
+    once. Rows crossing a chunk boundary take the chunked
     smooth_conv path (``lo_idxs`` = absolute start slot index per row).
 
     Returns (filled_rows, sg_rows, whit_rows, flag_rows) in input order.
@@ -211,7 +218,7 @@ def band_pipeline_rows(
         mtx = r.reshape(1, -1)
         filled_rows[i] = kernels.linear_interp_mtx(mtx)[0]
         flag_rows[i] = fill_flags_mtx(mtx)[0]
-        if len(r) > MAX_UNCHUNKED_SLOTS:
+        if is_crossing(int(lo_idxs[i]), len(r)):
             long_rows.append(i)
         else:
             by_len.setdefault(len(r), []).append(i)
@@ -290,7 +297,7 @@ def band_pipeline_flat(
     Flags and interp run vectorized over the flat array (per-conv edge
     positions from reduceat); SG batches equal-length convs; Whittaker
     runs the shared ragged prefix solver over the short convs; convs
-    longer than MAX_UNCHUNKED_SLOTS take the chunked smooth_conv path
+    crossing a chunk boundary take the chunked smooth_conv path
     (``lo_idxs`` = absolute start slot index per conv). Returns flat
     (filled, sg, whit, flags)."""
     n = len(alen)
@@ -337,7 +344,7 @@ def band_pipeline_flat(
     by_len: dict[int, list[int]] = {}
     long_convs: list[int] = []
     for c in range(n_convs):
-        if lengths[c] > MAX_UNCHUNKED_SLOTS:
+        if is_crossing(int(lo_idxs[c]), int(lengths[c])):
             long_convs.append(c)
         else:
             by_len.setdefault(int(lengths[c]), []).append(c)

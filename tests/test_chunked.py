@@ -30,9 +30,10 @@ def test_chunk_bounds_epoch_aligned():
 
 
 def test_short_conv_unchunked_bit_exact():
-    n = engine_core.MAX_UNCHUNKED_SLOTS
+    # grid fully inside one chunk -> unchunked solve, bit-exact
+    n = engine_core.CHUNK_SLOTS - 200
     filled = kernels.linear_interp_mtx(_series(n).reshape(1, -1))
-    sg, whit = engine_core.smooth_conv(filled[0], lo_idx=12345)
+    sg, whit = engine_core.smooth_conv(filled[0], lo_idx=100)
     want_sg = kernels.smooth_sg_mtx(filled)[0]
     want_whit = kernels.smooth_whit_mtx(filled)[0]
     assert np.array_equal(sg, want_sg)
@@ -40,7 +41,7 @@ def test_short_conv_unchunked_bit_exact():
 
 
 def test_long_conv_sg_bit_exact_whit_bounded():
-    n = engine_core.MAX_UNCHUNKED_SLOTS * 3 + 777
+    n = engine_core.CHUNK_SLOTS * 3 + 777
     filled = kernels.linear_interp_mtx(_series(n, seed=1).reshape(1, -1))
     sg, whit = engine_core.smooth_conv(filled[0], lo_idx=98765)
     # SG: FIR radius 2 << overlap 64 -> chunked result is bit-identical
@@ -55,7 +56,7 @@ def test_long_conv_sg_bit_exact_whit_bounded():
 
 
 def test_band_pipeline_variants_agree_on_long_conv():
-    n = engine_core.MAX_UNCHUNKED_SLOTS * 2 + 123
+    n = engine_core.CHUNK_SLOTS * 2 + 123
     lo_idx = 7_000_011
     alen = _series(n, seed=2)
     _f1, sg1, whit1 = engine_core.band_pipeline(alen.reshape(1, -1), lo_idx)
@@ -72,14 +73,14 @@ def test_chunk_grid_is_absolute_not_conv_relative():
     """Two convs with identical values but different absolute starts must
     cut at the same ABSOLUTE slots (deterministic under resume/split)."""
     C = engine_core.CHUNK_SLOTS
-    n = engine_core.MAX_UNCHUNKED_SLOTS + C
+    n = 2 * C
     b1 = engine_core.chunk_bounds(0, n)
     b2 = engine_core.chunk_bounds(C // 2, n)
     assert b1[1] == C and b2[1] == C - C // 2
 
 
 def test_flat_batch_mixed_short_and_long():
-    lens = [500, engine_core.MAX_UNCHUNKED_SLOTS + 999, 7, 1200]
+    lens = [500, engine_core.CHUNK_SLOTS + 999, 7, 1200]
     rows = [_series(n, seed=i) for i, n in enumerate(lens)]
     gb = np.concatenate([[0], np.cumsum(lens)])
     lo = np.array([10, 20_000, 99, 4])
@@ -104,7 +105,7 @@ def test_pipeline_bytematch_with_chunked_conv(spark, tmp_path_factory):
     pdf = fixtures.gen_transcripts(40, seed=9, hot_turns=25_000)
     golden = oracle.full_pipeline(pdf)
     span = golden["tier_1m"].groupby("conv_id").size().max()
-    assert span > engine_core.MAX_UNCHUNKED_SLOTS, "fixture must chunk"
+    assert span > engine_core.CHUNK_SLOTS, "fixture must cross a chunk boundary"
 
     inp = str(tmp_path_factory.mktemp("ch_in") / "t")
     spark.createDataFrame(pdf).write.parquet(inp)
@@ -121,3 +122,40 @@ def test_pipeline_bytematch_with_chunked_conv(spark, tmp_path_factory):
         a = got[c].to_numpy()
         b = want[c].to_numpy()
         assert np.array_equal(a.view(np.uint64), b.view(np.uint64)), c
+
+
+def test_cross_task_chunk_split_byte_identical(spark, tmp_path_factory):
+    """tier_1m_chunked distributes one conversation over many
+    (conv, chunk) tasks with halo + anchor rows — and must be BYTE
+    identical to the single-task kernel, including boundary-crossing
+    convs, interior multi-chunk gaps, and band-empty convs."""
+    import pandas as pd
+    from sits_spark import fixtures
+    from sits_spark.operators import chunk_split, regularize
+
+    pdf = fixtures.gen_transcripts(50, seed=13, hot_turns=30_000)
+    # add a conv with a >2-chunk interior silent gap (stub-chunk path)
+    import numpy as np_
+    base = np_.datetime64("2025-01-01T00:00:00", "s")
+    gap_rows = []
+    for j, off in enumerate([0, 120, 240, engine_core.CHUNK_SLOTS * 3 * 60 + 60]):
+        gap_rows.append(("conv-big-gap", j, "assistant", f"gap turn {j} xx", None,
+                         base + np_.timedelta64(off, "s")))
+    gap = pd.DataFrame(gap_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    gap["turn_idx"] = gap["turn_idx"].astype("int32")
+    pdf = pd.concat([pdf, gap], ignore_index=True)
+
+    inp = str(tmp_path_factory.mktemp("cs_in") / "t")
+    spark.createDataFrame(pdf).write.parquet(inp)
+    raw = spark.read.parquet(inp)
+
+    want = regularize.tier_1m(raw).orderBy("conv_id", "slot_start").toPandas()
+    got = chunk_split.tier_1m_chunked(raw).orderBy("conv_id", "slot_start").toPandas()
+    assert len(got) == len(want)
+    assert list(got.columns) == list(want.columns)
+    for c in want.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype == np.float64:
+            assert np.array_equal(a.view(np.uint64), b.view(np.uint64)), c
+        else:
+            assert np.array_equal(a, b), c
