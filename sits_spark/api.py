@@ -1,0 +1,409 @@
+"""User-facing API facade: the reference's verbs as DataFrame functions.
+
+The reference exposes its engine through a small vocabulary of user verbs
+(sits_cube / sits_select / sits_apply / sits_reduce / sits_merge /
+sits_smooth / sits_label_classification / sits_uncertainty / sits_sample /
+sits_detect_change — R/sits_cube.R, R/sits_select.R:33-90,
+R/sits_apply.R:89-160, R/sits_reduce.R:104-203, R/api_merge.R:144-230,
+R/sits_smooth.R, R/sits_labels.R, R/sits_uncertainty.R:72-168,
+R/sits_sample_functions.R:27, R/sits_detect_change.R:41-177). This module
+is the equivalent vocabulary for this engine: every verb is DataFrame-in /
+DataFrame-out and purely declarative (built-in Catalyst expressions), so a
+chain of verbs compiles to ONE optimized plan — filters and projections
+still reach the parquet scan, joins still broadcast/shuffle by size, and
+nothing materializes between verbs. Only `smooth` with the SG/Whittaker
+matrix kernels drops to Arrow (`mapInArrow`, batched per key run), exactly
+like the tier pipeline.
+
+The driver-checkable variants of these verbs (fixed parameters, DuckDB
+oracle) live in queries.py; this module is the parameterizable surface a
+user migrating from the reference would call.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Mapping, Sequence
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .batching import arrow_conv_batches, conv_bounds, record_batch
+from .kernels import smooth_sg_mtx, smooth_whit_mtx
+from .operators import reduce as _red
+
+__all__ = [
+    "cube",
+    "select",
+    "apply",
+    "reduce",
+    "merge",
+    "smooth",
+    "softmax",
+    "label_classification",
+    "uncertainty",
+    "normalize",
+    "sample",
+    "stratified_sample",
+    "detect_change",
+]
+
+
+# ---------------------------------------------------------------- cube
+
+
+def cube(spark: SparkSession, path: str) -> DataFrame:
+    """sits_cube local source (R/sits_cube.R local flavor): schema-on-read
+    scan of a parquet table/directory. Partition discovery, predicate
+    pushdown and column pruning are Catalyst's."""
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------- select
+
+
+def select(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    start=None,
+    end=None,
+    ts_col: str = "ts",
+    where: Column | str | None = None,
+) -> DataFrame:
+    """sits_select (R/sits_select.R:33-90): band (column) subset, temporal
+    interval [start, end), and an optional extra predicate. All three are
+    plain Catalyst filters/projections -> pushed into the scan."""
+    out = df
+    if start is not None:
+        out = out.where(F.col(ts_col) >= F.lit(start))
+    if end is not None:
+        out = out.where(F.col(ts_col) < F.lit(end))
+    if where is not None:
+        out = out.where(F.expr(where) if isinstance(where, str) else where)
+    if columns is not None:
+        out = out.select(*columns)
+    return out
+
+
+# ---------------------------------------------------------------- apply
+
+
+def apply(df: DataFrame, **exprs: Column | str) -> DataFrame:
+    """sits_apply expression capture (R/sits_apply.R:89-160): each kwarg
+    is a new/replaced column; strings go through the SQL parser, Columns
+    pass through. The reference captures an R expression and evaluates it
+    per block in C++; here the captured expression IS the Catalyst plan,
+    so it runs JVM-side under whole-stage codegen."""
+    named = {
+        name: (F.expr(e) if isinstance(e, str) else e) for name, e in exprs.items()
+    }
+    return df.withColumns(named)
+
+
+# ---------------------------------------------------------------- reduce
+
+# metric name -> Column builder over the value column. Same kernel set as
+# the reference's reduce_fns.cpp:12-92 (t_mse lives in queries.ts_mse_spectral
+# as it needs the series materialized; fslope needs an ordering -> order_by).
+_PLAIN_METRICS: dict[str, Callable[[Column], Column]] = {
+    "min": _red.t_min,
+    "max": _red.t_max,
+    "amplitude": _red.t_amplitude,
+    "mean": lambda c: _red.t_mean(c),
+    "median": _red.t_median,
+    "std": _red.t_std,
+    "q25": lambda c: _red.t_quantile(c, 0.25),
+    "q75": lambda c: _red.t_quantile(c, 0.75),
+    "iqr": _red.t_iqr,
+    "count": lambda c: F.count(c),
+}
+
+
+def reduce(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str = "value",
+    metrics: Sequence[str] = ("mean", "std", "min", "max"),
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """sits_reduce (R/sits_reduce.R:104-203 -> src/reduce_fns.cpp): named
+    temporal statistics per key group, one shuffle total.
+
+    Plain metrics are single-pass Catalyst aggregates. ``skew``/``kurt``
+    use the reference's exact two-pass central-moment formulas
+    (reduce_fns.cpp:37-60): a means subaggregate shuffle-joined back (never
+    broadcast — key cardinality grows with data). ``fslope``
+    (reduce_fns.cpp:68-70) needs ``order_by`` and adds one window pass.
+    Output columns are named after the metrics."""
+    vcol = F.col(value)
+    unknown = [m for m in metrics if m not in _PLAIN_METRICS and m not in ("skew", "kurt", "fslope")]
+    if unknown:
+        raise ValueError(f"unknown metrics: {unknown}; known: {sorted(_PLAIN_METRICS) + ['skew', 'kurt', 'fslope']}")
+
+    src = df
+    if "fslope" in metrics:
+        if not order_by:
+            raise ValueError("fslope needs order_by (series ordering)")
+        src = src.withColumn(
+            "_fslope_diff",
+            _red.t_fslope(vcol, [F.col(c) for c in order_by], list(keys)),
+        )
+    needs_moments = "skew" in metrics or "kurt" in metrics
+    if needs_moments:
+        means = src.groupBy(*keys).agg(_red.t_mean(vcol).alias("_m"))
+        src = src.join(means, list(keys))  # shuffle join: means ~ |keys|
+
+    aggs: list[Column] = []
+    for m in metrics:
+        if m in _PLAIN_METRICS:
+            aggs.append(_PLAIN_METRICS[m](vcol).alias(m))
+        elif m == "fslope":
+            aggs.append(F.max("_fslope_diff").alias(m))
+        else:  # skew / kurt, reference formulas over d = x - mean
+            d = vcol - F.col("_m")
+            n = F.count(value).cast("double")
+            if m == "skew":
+                m3 = F.sum(d * d * d) / n
+                s15 = F.pow(F.sum(d * d) / n, F.lit(1.5))
+                adj = F.sqrt(n * (n - 1)) / n - F.lit(2.0)
+                aggs.append(((m3 / s15) * adj).alias(m))
+            else:
+                aggs.append((n * F.sum(d * d * d * d) / F.pow(F.sum(d * d), F.lit(2.0))).alias(m))
+    return src.groupBy(*keys).agg(*aggs)
+
+
+# ---------------------------------------------------------------- merge
+
+
+def merge(
+    a: DataFrame,
+    b: DataFrame,
+    how: str = "bind",
+    keys: Sequence[str] = ("conv_id", "ts"),
+) -> DataFrame:
+    """sits_merge strategies (R/api_merge.R:144-230):
+
+    - ``bind``: union by name (timelines assumed compatible; the
+      reference's irregular path).
+    - ``densify``: full outer join on ``keys`` — union of both timelines,
+      NULLs where one side lacks an observation (gap-fill feeds downstream).
+    - ``compactify``: inner join on ``keys`` — timeline intersection.
+    """
+    if how == "bind":
+        return a.unionByName(b, allowMissingColumns=True)
+    if how not in ("densify", "compactify"):
+        raise ValueError(f"how must be bind|densify|compactify, got {how!r}")
+    join_type = "full_outer" if how == "densify" else "inner"
+    # disambiguate non-key columns with side suffixes, as the reference does
+    akeys = set(keys)
+    a_r = a.select(*keys, *[F.col(c).alias(f"{c}_a") for c in a.columns if c not in akeys])
+    b_r = b.select(*keys, *[F.col(c).alias(f"{c}_b") for c in b.columns if c not in akeys])
+    return a_r.join(b_r, list(keys), join_type)
+
+
+# ---------------------------------------------------------------- smooth
+
+
+def smooth(
+    df: DataFrame,
+    key: str = "conv_id",
+    order_by: str = "ts",
+    value: str = "value",
+    method: str = "sg",
+    out: str = "smoothed",
+    order: int = 3,
+    length: int = 5,
+    lamb: float = 0.5,
+    window: int = 2,
+    smoothness: float = 0.75,
+    partitions: int | None = None,
+) -> DataFrame:
+    """sits_smooth / sits_apply kernel smoothing over per-key series.
+
+    - ``sg``: Savitzky-Golay with the reference's asymmetric edge rows
+      (src/smooth_sgp.cpp:37-59) — Arrow path.
+    - ``whittaker``: exact boundary-recurrence Whittaker
+      (src/smooth_whit.cpp) — Arrow path.
+    - ``bayes``: variance-weighted posterior over a +-window neighborhood
+      (src/smooth_bayes.cpp:20-78, neigh_fraction=1) — pure Catalyst
+      window expressions, no Python at all.
+
+    The Arrow path clusters rows by key (`repartition(key)` +
+    `sortWithinPartitions(key, order_by)` — one shuffle) and streams
+    mapInArrow batches re-chunked to whole key runs; each run is smoothed
+    as a 1xT matrix by the same vectorized kernels the tier pipeline uses.
+    Output = input columns + ``out`` (double). Keeps input row order
+    within each series."""
+    if method == "bayes":
+        w = Window.partitionBy(key).orderBy(order_by).rowsBetween(-window, window)
+        m0 = F.avg(value).over(w)
+        s0 = F.var_samp(value).over(w)
+        wt = s0 / (s0 + F.lit(smoothness))
+        post = F.when(s0 < 1e-4, m0).otherwise(wt * F.col(value) + (1.0 - wt) * m0)
+        return df.withColumn(out, post)
+    if method not in ("sg", "whittaker"):
+        raise ValueError(f"method must be sg|whittaker|bayes, got {method!r}")
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # StructType.add MUTATES in place — never touch df.schema with it
+    out_schema_spark = StructType(df.schema.fields + [StructField(out, DoubleType())])
+    pa_schema = to_arrow_schema(out_schema_spark)
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+
+    def _iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for tbl in arrow_conv_batches(batches, key=key):
+            vals = np.asarray(tbl[value], dtype=np.float64)
+            sm = np.empty_like(vals)
+            starts, bounds = conv_bounds(tbl[key])
+            for i, s in enumerate(starts):
+                e = bounds[i + 1]
+                row = vals[s:e][None, :]
+                if method == "sg":
+                    sm[s:e] = smooth_sg_mtx(row, order=order, length=length)[0]
+                else:
+                    sm[s:e] = smooth_whit_mtx(row, lamb=lamb)[0]
+            tbl = dict(tbl)
+            tbl[out] = sm
+            yield record_batch(tbl, pa_schema)
+
+    clustered = df.repartition(n_parts, key).sortWithinPartitions(key, order_by)
+    return clustered.mapInArrow(_iter, out_schema_spark)
+
+
+# ------------------------------------------------------- classification
+
+
+def softmax(df: DataFrame, cols: Sequence[str], prefix: str = "p_") -> DataFrame:
+    """Log-sum-exp softmax over logit columns (src/softmax.cpp:14):
+    numerically stable, pure expressions."""
+    mx = F.greatest(*[F.col(c) for c in cols])
+    denom = sum((F.exp(F.col(c) - mx) for c in cols[1:]), F.exp(F.col(cols[0]) - mx))
+    return df.withColumns({f"{prefix}{c}": F.exp(F.col(c) - mx) / denom for c in cols})
+
+
+def label_classification(
+    df: DataFrame, prob_cols: Sequence[str], out: str = "label"
+) -> DataFrame:
+    """sits_label_classification (R/sits_labels.R): argmax over probability
+    columns, first-wins on ties (matches the reference's which.max)."""
+    pairs = F.array(*[F.struct(F.col(c).alias("p"), F.lit(c).alias("name")) for c in prob_cols])
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(float("-inf")).alias("p"), F.lit("").alias("name")),
+        lambda acc, x: F.when(x["p"] > acc["p"], x).otherwise(acc),
+    )
+    return df.withColumn(out, best["name"])
+
+
+def uncertainty(
+    df: DataFrame, prob_cols: Sequence[str], method: str = "entropy", out: str = "uncert"
+) -> DataFrame:
+    """sits_uncertainty (R/sits_uncertainty.R:72-168 -> src/uncertainty.cpp:7-25):
+
+    - ``entropy``: -sum(p ln p) / ln(k)  (normalized)
+    - ``margin``:  1 - (p1 - p2)
+    - ``least``:   1 - max(p)
+    """
+    ps = [F.col(c) for c in prob_cols]
+    if method == "entropy":
+        ent = sum(
+            (F.when(p > 0, -p * F.log(p)).otherwise(F.lit(0.0)) for p in ps[1:]),
+            F.when(ps[0] > 0, -ps[0] * F.log(ps[0])).otherwise(F.lit(0.0)),
+        )
+        expr = ent / float(np.log(len(prob_cols)))
+    elif method == "margin":
+        arr = F.array_sort(F.array(*ps))
+        k = len(prob_cols)
+        expr = 1.0 - (arr[k - 1] - arr[k - 2])
+    elif method == "least":
+        expr = 1.0 - F.greatest(*ps)
+    else:
+        raise ValueError(f"method must be entropy|margin|least, got {method!r}")
+    return df.withColumn(out, expr)
+
+
+def normalize(
+    df: DataFrame, cols: Sequence[str], lo: float, hi: float, suffix: str = "_norm"
+) -> DataFrame:
+    """Min-max normalization with clamp to [0, 1] (the reference's
+    normalization used before model inference, R/api_ml_model.R)."""
+    span = hi - lo
+    return df.withColumns(
+        {
+            f"{c}{suffix}": F.least(F.greatest((F.col(c) - lo) / span, F.lit(0.0)), F.lit(1.0))
+            for c in cols
+        }
+    )
+
+
+# ---------------------------------------------------------------- sample
+
+
+def sample(df: DataFrame, frac: float, key_cols: Sequence[str], salt: int = 0) -> DataFrame:
+    """Deterministic hash sample (reference's sits_sample,
+    R/sits_sample_functions.R:27): keeps a row iff
+    hash(key) mod 2^16 < frac * 2^16. Reproducible across runs/engines,
+    no RNG state, embarrassingly parallel."""
+    h = F.abs(F.hash(*[F.col(c) for c in key_cols], F.lit(salt))) % 65536
+    return df.where(h < int(frac * 65536))
+
+
+def stratified_sample(
+    df: DataFrame, label_col: str, fractions: Mapping[str, float], key_cols: Sequence[str]
+) -> DataFrame:
+    """sits_stratified_sampling (R/api_tibble.R:278-291): per-label keep
+    fractions, same deterministic hash gate as `sample` so results are
+    engine-independent. Labels absent from ``fractions`` are dropped."""
+    gate = F.lit(-1)
+    for lbl, fr in fractions.items():
+        gate = F.when(F.col(label_col) == lbl, F.lit(int(fr * 65536))).otherwise(gate)
+    h = F.abs(F.hash(*[F.col(c) for c in key_cols])) % 65536
+    return df.where(h < gate)
+
+
+# --------------------------------------------------------- change detect
+
+
+def detect_change(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value: str,
+    mu_stable: float,
+    sd_stable: float,
+    mu_changed: float,
+    sd_changed: float,
+    bwf: tuple[float, float] = (0.1, 0.9),
+    tau: float = 2.0,
+) -> DataFrame:
+    """bayts sequential change detection (src/bayts_fns.cpp:44-164,
+    R/sits_detect_change.R:41-177): per-observation conditional probability
+    from the stable/changed Gaussians, clamped to ``bwf``, chained by
+    Bayes' rule. The chain is a cumulative SUM in log-odds space, i.e. a
+    running-window aggregation — no recursion, no Python. Emits each key's
+    first flagged ordering position (NULL if never flagged)."""
+    v = F.col(value)
+
+    def phi(mu: float, sd: float) -> Column:
+        return F.exp(-((v - mu) ** 2) / (2.0 * sd * sd)) / (
+            sd * F.sqrt(F.lit(2.0 * np.pi))
+        )
+
+    p = phi(mu_changed, sd_changed) / (phi(mu_changed, sd_changed) + phi(mu_stable, sd_stable))
+    p = F.greatest(F.least(p, F.lit(bwf[1])), F.lit(bwf[0]))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.log(p / (1.0 - p))).over(w)
+    flagged = df.select(
+        *keys, *order_by, cum.alias("cum_llr")
+    ).where(F.col("cum_llr") >= tau)
+    firsts = flagged.groupBy(*keys).agg(
+        *[F.min(c).alias(f"first_{c}") for c in order_by],
+    )
+    return firsts

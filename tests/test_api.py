@@ -1,0 +1,163 @@
+"""User-facing API facade tests: each verb checked against an independent
+implementation (numpy kernel ground truth or a hand-built expectation)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sits_spark import api
+from sits_spark.kernels import smooth_sg_mtx, smooth_whit_mtx
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    # 3 conversations with distinct lengths (one shorter than the SG window)
+    rows = []
+    rng = np.random.RandomState(7)
+    for cid, n in (("c1", 40), ("c2", 9), ("c3", 3)):
+        vals = np.round(rng.randn(n) * 10 + 50, 4)
+        for i, v in enumerate(vals):
+            rows.append((cid, i, float(v), "user" if i % 2 else "assistant"))
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, value double, role string")
+
+
+def _per_conv(df):
+    out = {}
+    for r in df.orderBy("conv_id", "turn_idx").collect():
+        out.setdefault(r.conv_id, []).append(r)
+    return out
+
+
+def test_select_interval_and_columns(series_df):
+    got = api.select(
+        series_df, columns=["conv_id", "turn_idx"], start=5, end=20,
+        ts_col="turn_idx", where="conv_id <> 'c3'",
+    )
+    assert got.columns == ["conv_id", "turn_idx"]
+    rows = got.collect()
+    assert all(5 <= r.turn_idx < 20 and r.conv_id != "c3" for r in rows)
+    assert len(rows) == 15 + 4  # c1 full interval, c2 has turns 5..8
+
+
+def test_apply_expr_capture(series_df):
+    got = api.apply(series_df, doubled="value * 2", flag=F.col("turn_idx") > 5)
+    r = got.where("conv_id = 'c1' and turn_idx = 7").first()
+    assert r.doubled == pytest.approx(2 * r.value) and r.flag is True
+
+
+def test_reduce_matches_numpy(series_df):
+    got = {
+        r.conv_id: r
+        for r in api.reduce(
+            series_df, ["conv_id"], "value",
+            ["mean", "std", "min", "max", "median", "iqr", "skew", "kurt", "count", "fslope"],
+            order_by=["turn_idx"],
+        ).collect()
+    }
+    pdf = _per_conv(series_df)
+    for cid, rows in pdf.items():
+        v = np.array([r.value for r in rows])
+        assert got[cid]["mean"] == pytest.approx(v.mean(), abs=1e-4)
+        assert got[cid]["std"] == pytest.approx(v.std(ddof=1), abs=1e-3)
+        assert got[cid]["min"] == v.min() and got[cid]["max"] == v.max()
+        assert got[cid]["median"] == pytest.approx(np.median(v))
+        assert got[cid]["count"] == len(v)
+        assert got[cid]["fslope"] == pytest.approx(np.abs(np.diff(v)).max())
+        n, d = len(v), v - v.mean()
+        skew = (d**3).mean() / ((d**2).mean()) ** 1.5 * (math.sqrt(n * (n - 1)) / n - 2.0)
+        kurt = n * (d**4).sum() / ((d**2).sum()) ** 2
+        assert got[cid]["skew"] == pytest.approx(skew, rel=1e-9)
+        assert got[cid]["kurt"] == pytest.approx(kurt, rel=1e-9)
+
+
+def test_merge_strategies(spark):
+    a = spark.createDataFrame([("c", 1, 10.0), ("c", 2, 20.0)], "conv_id string, ts int, v double")
+    b = spark.createDataFrame([("c", 2, 2.0), ("c", 3, 3.0)], "conv_id string, ts int, v double")
+    assert api.merge(a, b, "bind").count() == 4
+    dens = api.merge(a, b, "densify", keys=("conv_id", "ts")).orderBy("ts").collect()
+    assert [r.ts for r in dens] == [1, 2, 3]
+    assert dens[0].v_b is None and dens[2].v_a is None
+    comp = api.merge(a, b, "compactify", keys=("conv_id", "ts")).collect()
+    assert len(comp) == 1 and comp[0].ts == 2
+
+
+@pytest.mark.parametrize("method", ["sg", "whittaker"])
+def test_smooth_matches_kernels(series_df, method):
+    got = _per_conv(api.smooth(series_df, key="conv_id", order_by="turn_idx",
+                               value="value", method=method, partitions=4))
+    raw = _per_conv(series_df)
+    for cid, rows in raw.items():
+        v = np.array([r.value for r in rows])[None, :]
+        exp = smooth_sg_mtx(v) if method == "sg" else smooth_whit_mtx(v)
+        np.testing.assert_array_equal(
+            np.array([r.smoothed for r in got[cid]]), exp[0],
+            err_msg=f"{method} mismatch for {cid}",
+        )
+
+
+def test_smooth_bayes_pure_catalyst(series_df):
+    got = api.smooth(series_df, key="conv_id", order_by="turn_idx",
+                     value="value", method="bayes", window=2, smoothness=0.75)
+    rows = _per_conv(got)["c1"]
+    v = np.array([r.value for r in rows])
+    # center point 5: window 3..7
+    seg = v[3:8]
+    m0, s0 = seg.mean(), seg.var(ddof=1)
+    w = s0 / (s0 + 0.75)
+    assert rows[5].smoothed == pytest.approx(w * v[5] + (1 - w) * m0)
+    assert "mapInArrow" not in got._jdf.queryExecution().executedPlan().toString()
+
+
+def test_softmax_label_uncertainty(spark):
+    df = spark.createDataFrame([(1, 1.0, 2.0, 0.5)], "id int, a double, b double, c double")
+    sm = api.softmax(df, ["a", "b", "c"]).first()
+    z = np.array([1.0, 2.0, 0.5])
+    exp = np.exp(z - z.max()) / np.exp(z - z.max()).sum()
+    assert [sm.p_a, sm.p_b, sm.p_c] == pytest.approx(list(exp))
+    lab = api.label_classification(
+        api.softmax(df, ["a", "b", "c"]), ["p_a", "p_b", "p_c"]).first()
+    assert lab.label == "p_b"
+    p = exp
+    ud = api.softmax(df, ["a", "b", "c"])
+    ent = api.uncertainty(ud, ["p_a", "p_b", "p_c"], "entropy").first().uncert
+    assert ent == pytest.approx(float(-(p * np.log(p)).sum() / np.log(3)))
+    mar = api.uncertainty(ud, ["p_a", "p_b", "p_c"], "margin").first().uncert
+    sp = np.sort(p)
+    assert mar == pytest.approx(1.0 - (sp[-1] - sp[-2]))
+    lst = api.uncertainty(ud, ["p_a", "p_b", "p_c"], "least").first().uncert
+    assert lst == pytest.approx(1.0 - p.max())
+
+
+def test_normalize_clamps(spark):
+    df = spark.createDataFrame([(0, -5.0), (1, 5.0), (2, 25.0)], "id int, v double")
+    got = {r.id: r.v_norm for r in api.normalize(df, ["v"], 0.0, 10.0).collect()}
+    assert got == {0: 0.0, 1: 0.5, 2: 1.0}
+
+
+def test_sampling_deterministic_and_stratified(series_df):
+    s1 = api.sample(series_df, 0.5, ["conv_id", "turn_idx"]).collect()
+    s2 = api.sample(series_df, 0.5, ["conv_id", "turn_idx"]).collect()
+    assert sorted(map(str, s1)) == sorted(map(str, s2)) and 0 < len(s1) < 52
+    st = api.stratified_sample(series_df, "role", {"user": 1.0}, ["conv_id", "turn_idx"])
+    assert st.where("role <> 'user'").count() == 0
+    assert st.count() == series_df.where("role = 'user'").count()
+
+
+def test_detect_change_first_flag(spark):
+    # stable regime ~0, then a jump to ~5 -> log-odds accumulate past tau.
+    # With bwf clamps (0.1, 0.9) each obs contributes exactly +-ln(9): two
+    # stable obs put cum at -2ln9; the 5th changed obs reaches +3ln9 > tau
+    # only after cancelling them -> first flag at ts=4 (+ln9 > 2.0).
+    rows = [("k", i, 0.0 if i < 2 else 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, ts int, v double")
+    got = api.detect_change(
+        df, ["key"], ["ts"], "v",
+        mu_stable=0.0, sd_stable=1.0, mu_changed=5.0, sd_changed=1.0, tau=2.0,
+    ).collect()
+    assert len(got) == 1 and got[0].first_ts == 4
+    # never-flagged series emits nothing
+    calm = spark.createDataFrame([("k", i, 0.0) for i in range(10)], "key string, ts int, v double")
+    assert api.detect_change(
+        calm, ["key"], ["ts"], "v", 0.0, 1.0, 5.0, 1.0, tau=2.0).count() == 0
