@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sits_spark.facade_queries import FACADE_REGISTRY
 from sits_spark.queries import REGISTRY, ts_reduce_stats
 from sits_spark.transcript_queries import (
     TRANSCRIPT_ORACLES,
@@ -33,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: builder for name, (builder, _sql) in REGISTRY.items()
     }
+    out.update({name: builder for name, (builder, _sql) in FACADE_REGISTRY.items()})
     out.update(TRANSCRIPT_QUERIES)
     return out
 
@@ -42,5 +44,6 @@ def oracle_sql() -> dict[str, str]:
     # absolute path — make sure it exists before DuckDB runs
     ensure_fixture()
     out = {name: sql for name, (_builder, sql) in REGISTRY.items()}
+    out.update({name: sql for name, (_builder, sql) in FACADE_REGISTRY.items()})
     out.update(TRANSCRIPT_ORACLES)
     return out

@@ -208,7 +208,7 @@ def merge(
 def smooth(
     df: DataFrame,
     key: str = "conv_id",
-    order_by: str = "ts",
+    order_by: str | Sequence[str] = "ts",
     value: str = "value",
     method: str = "sg",
     out: str = "smoothed",
@@ -235,8 +235,9 @@ def smooth(
     as a 1xT matrix by the same vectorized kernels the tier pipeline uses.
     Output = input columns + ``out`` (double). Keeps input row order
     within each series."""
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     if method == "bayes":
-        w = Window.partitionBy(key).orderBy(order_by).rowsBetween(-window, window)
+        w = Window.partitionBy(key).orderBy(*order_cols).rowsBetween(-window, window)
         m0 = F.avg(value).over(w)
         s0 = F.var_samp(value).over(w)
         wt = s0 / (s0 + F.lit(smoothness))
@@ -269,7 +270,7 @@ def smooth(
             tbl[out] = sm
             yield record_batch(tbl, pa_schema)
 
-    clustered = df.repartition(n_parts, key).sortWithinPartitions(key, order_by)
+    clustered = df.repartition(n_parts, key).sortWithinPartitions(key, *order_cols)
     return clustered.mapInArrow(_iter, out_schema_spark)
 
 

@@ -1,0 +1,184 @@
+"""Driver-checkable queries built ONLY from the user-facing verb facade.
+
+queries.py proves each operator individually; these rows prove the
+`sits_spark.api` composition surface — the path a user migrating from the
+reference (sits_select |> sits_apply |> sits_reduce chains,
+R/sits_select.R + R/sits_apply.R + R/sits_reduce.R) actually writes —
+against the same DuckDB oracles. Because every verb is Catalyst-
+declarative, a chained pipeline here still compiles to one optimized
+plan (filter pushdown through apply/reduce, single shuffle per groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import api
+
+_DEC = "decimal(18,4)"
+
+
+def _r6(col):
+    return F.round(col, 6).cast("double")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def api_verbs_chain(spark, sf_dir):
+    """select -> apply -> reduce chained through the facade: non-error
+    events, derived band v2 = 2*value + 1 (exact in binary for the data's
+    |v| < 1e4 domain), full unordered stat family per user."""
+    e = _events(spark, sf_dir)
+    sel = api.select(e, where="event_type <> 'error'")
+    ap = api.apply(sel, v2="value * 2.0 + 1.0")
+    red = api.reduce(
+        ap, ["user_id"], "v2", ["count", "mean", "min", "max", "median", "iqr"]
+    )
+    return red.select(
+        "user_id",
+        F.col("count").alias("n_events"),
+        _r6("mean").alias("v_mean"),
+        F.col("min").alias("v_min"),
+        F.col("max").alias("v_max"),
+        _r6("median").alias("v_median"),
+        _r6("iqr").alias("v_iqr"),
+    )
+
+
+SQL_API_VERBS_CHAIN = f"""
+WITH t AS (
+  SELECT user_id, value * 2.0 + 1.0 AS v2
+  FROM events WHERE event_type <> 'error'
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(round(CAST(sum(CAST(v2 AS {_DEC})) AS DOUBLE) / count(v2), 6) AS DOUBLE) AS v_mean,
+       min(v2) AS v_min,
+       max(v2) AS v_max,
+       CAST(round(CAST(quantile_cont(v2, 0.5) AS DOUBLE), 6) AS DOUBLE) AS v_median,
+       CAST(round(CAST(quantile_cont(v2, 0.75) AS DOUBLE) - CAST(quantile_cont(v2, 0.25) AS DOUBLE), 6) AS DOUBLE) AS v_iqr
+FROM t GROUP BY user_id
+"""
+
+
+def api_reduce_moments(spark, sf_dir):
+    """Facade reduce's two-pass skew/kurt path (reference formulas,
+    src/reduce_fns.cpp:37-60; means shuffle-joined, never broadcast)."""
+    e = _events(spark, sf_dir)
+    red = api.reduce(e, ["user_id"], "value", ["skew", "kurt"])
+    return red.select(
+        "user_id", _r6("skew").alias("v_skew"), _r6("kurt").alias("v_kurt")
+    )
+
+
+SQL_API_REDUCE_MOMENTS = f"""
+WITH m AS (
+  SELECT user_id, CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) / count(value) AS m
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       CAST(round((sum(pow(e.value - m.m, 3)) / count(*))
+            / pow(sum(pow(e.value - m.m, 2)) / count(*), 1.5)
+            * (sqrt(count(*) * (count(*) - 1.0)) / count(*) - 2.0), 6) AS DOUBLE) AS v_skew,
+       CAST(round(count(*) * sum(pow(e.value - m.m, 4))
+            / pow(sum(pow(e.value - m.m, 2)), 2.0), 6) AS DOUBLE) AS v_kurt
+FROM events e JOIN m ON e.user_id = m.user_id
+GROUP BY e.user_id
+"""
+
+
+def api_smooth_bayes(spark, sf_dir):
+    """Facade Bayesian smoother (src/smooth_bayes.cpp:20-78 with
+    neigh_fraction=1): +-2 window prior, variance-weighted posterior —
+    pure Catalyst window expressions through api.smooth(method='bayes')."""
+    e = _events(spark, sf_dir)
+    sm = api.smooth(
+        e,
+        key="user_id",
+        order_by=["ts", "event_id"],
+        value="value",
+        method="bayes",
+        window=2,
+        smoothness=400.0,
+        out="v_bayes",
+    )
+    return sm.select("event_id", "user_id", _r6("v_bayes").alias("v_bayes"))
+
+
+SQL_API_SMOOTH_BAYES = """
+SELECT event_id, user_id,
+  CAST(round(CASE WHEN s0 < 1e-4 THEN m0
+             ELSE (s0 / (s0 + 400.0)) * value
+                  + (1.0 - s0 / (s0 + 400.0)) * m0 END, 6) AS DOUBLE) AS v_bayes
+FROM (
+  SELECT event_id, user_id, value,
+         avg(value) OVER w AS m0,
+         var_samp(value) OVER w AS s0
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+)
+"""
+
+
+def api_normalize_uncertainty(spark, sf_dir):
+    """Facade normalize + softmax + label + margin-uncertainty per row:
+    three synthetic logit bands from the value column, softmaxed and
+    argmax-labelled (first-wins ties, matching the reference's which.max),
+    margin = 1 - (p1 - p2) (src/uncertainty.cpp:7-25)."""
+    e = _events(spark, sf_dir)
+    ap = api.apply(
+        e, a="value / 100.0", b="value / 200.0", c="1.0 - value / 100.0"
+    )
+    sm = api.softmax(ap, ["a", "b", "c"])
+    lab = api.label_classification(sm, ["p_a", "p_b", "p_c"], out="label")
+    unc = api.uncertainty(lab, ["p_a", "p_b", "p_c"], "margin", out="u")
+    return unc.select(
+        "event_id",
+        _r6("p_a").alias("p_a"),
+        _r6("p_b").alias("p_b"),
+        _r6("p_c").alias("p_c"),
+        "label",
+        _r6("u").alias("u_margin"),
+    )
+
+
+SQL_API_NORMALIZE_UNCERTAINTY = """
+WITH l AS (
+  SELECT event_id, value / 100.0 AS a, value / 200.0 AS b, 1.0 - value / 100.0 AS c
+  FROM events
+),
+sm AS (
+  SELECT event_id,
+         exp(a - mx) / d AS p_a, exp(b - mx) / d AS p_b, exp(c - mx) / d AS p_c
+  FROM (
+    SELECT event_id, a, b, c, greatest(a, b, c) AS mx,
+           exp(a - greatest(a, b, c)) + exp(b - greatest(a, b, c)) + exp(c - greatest(a, b, c)) AS d
+    FROM l
+  )
+)
+SELECT event_id,
+       CAST(round(p_a, 6) AS DOUBLE) AS p_a,
+       CAST(round(p_b, 6) AS DOUBLE) AS p_b,
+       CAST(round(p_c, 6) AS DOUBLE) AS p_c,
+       CASE WHEN p_b > p_a OR p_c > p_a THEN (CASE WHEN p_c > p_b THEN 'p_c' ELSE 'p_b' END)
+            ELSE 'p_a' END AS label,
+       CAST(round(1.0 - (greatest(p_a, p_b, p_c)
+            - CASE WHEN p_a >= p_b AND p_a >= p_c THEN greatest(p_b, p_c)
+                   WHEN p_b >= p_c THEN greatest(p_a, p_c)
+                   ELSE greatest(p_a, p_b) END), 6) AS DOUBLE) AS u_margin
+FROM sm
+"""
+
+
+FACADE_REGISTRY: dict[str, tuple] = {
+    "api_verbs_chain": (api_verbs_chain, SQL_API_VERBS_CHAIN),
+    "api_reduce_moments": (api_reduce_moments, SQL_API_REDUCE_MOMENTS),
+    "api_smooth_bayes": (api_smooth_bayes, SQL_API_SMOOTH_BAYES),
+    "api_normalize_uncertainty": (
+        api_normalize_uncertainty,
+        SQL_API_NORMALIZE_UNCERTAINTY,
+    ),
+}
