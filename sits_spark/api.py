@@ -384,8 +384,9 @@ def detect_change(
     R/sits_detect_change.R:41-177): per-observation conditional probability
     from the stable/changed Gaussians, clamped to ``bwf``, chained by
     Bayes' rule. The chain is a cumulative SUM in log-odds space, i.e. a
-    running-window aggregation — no recursion, no Python. Emits each key's
-    first flagged ordering position (NULL if never flagged)."""
+    running-window aggregation — no recursion, no Python. Emits one row per
+    flagged key with its first flagged ordering position; never-flagged
+    keys are absent from the output."""
     v = F.col(value)
 
     def phi(mu: float, sd: float) -> Column:
