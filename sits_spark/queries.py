@@ -1655,3 +1655,19 @@ REGISTRY.update(
         "ts_merge_densify": (ts_merge_densify, SQL_TS_MERGE_DENSIFY),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# F. flagship transcript-engine oracles in the MAIN registry (VERDICT r2 #1):
+#    the ev_* variants reference only driver-registered views on the SQL
+#    side, so no sandboxed-DuckDB / external-file filter can drop them.
+# ---------------------------------------------------------------------------
+
+def _register_transcript_oracles() -> None:
+    from .transcript_queries import EV_REGISTRY, FIXTURE_REGISTRY
+
+    REGISTRY.update(EV_REGISTRY)
+    REGISTRY.update(FIXTURE_REGISTRY)
+
+
+_register_transcript_oracles()

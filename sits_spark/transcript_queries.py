@@ -148,7 +148,7 @@ def transcript_pack_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_obs(extra: str = "") -> str:
+def _sql_obs(src: str, extra: str = "") -> str:
     return f"""
 SELECT conv_id, (CAST(epoch_us(ts) AS BIGINT) // 60000000) * 60 AS slot_s,
        count(*) AS n_turns,
@@ -158,15 +158,35 @@ SELECT conv_id, (CAST(epoch_us(ts) AS BIGINT) // 60000000) * 60 AS slot_s,
        CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tool_calls,
        CAST(sum(CASE WHEN role = 'assistant' THEN length(text) ELSE 0 END) AS BIGINT) AS alen_sum,
        CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS alen_n
-FROM read_parquet('{FIXTURE_PATH}')
+FROM {src}
 GROUP BY 1, 2{extra}
 """
 
 
-SQL_TRANSCRIPT_SLOTS_OBS = _sql_obs(" ORDER BY conv_id, slot_s")
+def _sql_grid_base(src: str) -> str:
+    return f"""
+WITH obs AS ({_sql_obs(src)}),
+span AS (SELECT conv_id, min(slot_s) AS s0, max(slot_s) AS s1 FROM obs GROUP BY 1),
+grid AS (SELECT conv_id, unnest(generate_series(s0, s1, 60)) AS slot_s FROM span),
+dense AS (
+  SELECT g.conv_id, g.slot_s,
+         coalesce(o.n_turns, 0) > 0 AS present,
+         coalesce(o.n_turns, 0) AS n_turns,
+         coalesce(o.tokens_user, 0) AS tokens_user,
+         coalesce(o.tokens_assistant, 0) AS tokens_assistant,
+         coalesce(o.tokens_tool, 0) AS tokens_tool,
+         coalesce(o.tool_calls, 0) AS tool_calls
+  FROM grid g LEFT JOIN obs o ON g.conv_id = o.conv_id AND g.slot_s = o.slot_s
+)
+"""
+
+
+_FIXTURE_SRC = f"read_parquet('{FIXTURE_PATH}')"
+
+SQL_TRANSCRIPT_SLOTS_OBS = _sql_obs(_FIXTURE_SRC, " ORDER BY conv_id, slot_s")
 
 _SQL_GRID_BASE = f"""
-WITH obs AS ({_sql_obs()}),
+WITH obs AS ({_sql_obs(_FIXTURE_SRC)}),
 span AS (SELECT conv_id, min(slot_s) AS s0, max(slot_s) AS s1 FROM obs GROUP BY 1),
 grid AS (SELECT conv_id, unnest(generate_series(s0, s1, 60)) AS slot_s FROM span),
 dense AS (
@@ -217,6 +237,171 @@ FROM dense GROUP BY 1, 2
 )
 
 
+# -- events-derived engine oracles (driver-view-only SQL) ------------------
+#
+# The fixture-based oracles above read an absolute parquet path, which a
+# sandboxed DuckDB (external file access disabled) cannot see. These
+# variants derive the SAME transcript shape (BASELINE.json input_hint)
+# deterministically from the driver's registered `events` view — pure SQL
+# on both sides — and push it through the REAL engine kernels
+# (observed_slots -> tier_1m mapInArrow grid -> rollup_tiers -> pack_blocks),
+# so the driver gets hash-checked rows over the flagship path with zero
+# filesystem dependencies.
+
+_EV_COND = {
+    "all": None,
+    "mod5": "user_id % 5 = 2",
+    "mod5_4d": "user_id % 5 = 2 AND ts < TIMESTAMP '2024-01-05 00:00:00'",
+}
+
+
+def _ev_transcripts(spark: SparkSession, sf_dir: str, cond: str) -> DataFrame:
+    """events -> (conv_id, role, text, tool, ts): conv = user, role cycles
+    by event_id, text = 'event_type props', tool on role='tool' rows."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if cond == "mod5":
+        e = e.where(F.col("user_id") % 5 == 2)
+    elif cond == "mod5_4d":
+        e = e.where(
+            (F.col("user_id") % 5 == 2)
+            & (F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        )
+    r = F.col("event_id") % 3
+    role = F.when(r == 0, "user").when(r == 1, "assistant").otherwise("tool")
+    return e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        role.alias("role"),
+        F.concat_ws(" ", "event_type", "props").alias("text"),
+        F.when(r == 2, F.col("event_type")).alias("tool"),
+        "ts",
+    )
+
+
+def _ev_src(cond: str) -> str:
+    where = f" WHERE {_EV_COND[cond]}" if _EV_COND[cond] else ""
+    return f"""(
+SELECT CAST(user_id AS VARCHAR) AS conv_id,
+       CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+       event_type || ' ' || props AS text,
+       CASE WHEN event_id % 3 = 2 THEN event_type END AS tool,
+       ts
+FROM events{where})"""
+
+
+def transcript_ev_slots_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine stage 1 (Catalyst slot aggregation) over the events-derived
+    transcript table — every measure an exact int64."""
+    return regularize.observed_slots(_ev_transcripts(spark, sf_dir, "all"))
+
+
+def transcript_ev_grid_1m_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine 1m tier (mapInArrow dense-grid kernel incl. gap slots),
+    integer projection, on a bounded conv/time slice."""
+    t1m = regularize.tier_1m(_ev_transcripts(spark, sf_dir, "mod5_4d"))
+    return t1m.select(
+        "conv_id",
+        F.col("slot_start").cast("long").alias("slot_s"),
+        "present",
+        "n_turns",
+        "tokens_user",
+        "tokens_assistant",
+        "tokens_tool",
+        "tool_calls",
+    )
+
+
+def _ev_agg_ints(spark: SparkSession, sf_dir: str, tier: str, cond: str) -> DataFrame:
+    t1m = regularize.tier_1m(_ev_transcripts(spark, sf_dir, cond))
+    agg = rollup.rollup_tiers(t1m, (tier,)).where(F.col("tier") == tier)
+    return agg.select(
+        "conv_id",
+        F.col("window_start").cast("long").alias("window_s"),
+        "n_slots",
+        "n_turns",
+        "tokens_user",
+        "tokens_assistant",
+        "tokens_tool",
+        "tool_calls",
+        "turn_rate",
+    )
+
+
+def transcript_ev_agg_1h_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine 1h tier (conv-batched rollup kernel), exact projection."""
+    return _ev_agg_ints(spark, sf_dir, "1h", "mod5")
+
+
+def transcript_ev_agg_1d_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine 1d tier over every conversation, exact projection."""
+    return _ev_agg_ints(spark, sf_dir, "1d", "all")
+
+
+def transcript_ev_pack_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla packed-block envelope (window, n points, first ts) through
+    the engine's pack kernel."""
+    t1m = regularize.tier_1m(_ev_transcripts(spark, sf_dir, "mod5"))
+    pk = rollup.pack_blocks(t1m)
+    return pk.select(
+        "conv_id",
+        F.col("window_start").cast("long").alias("window_s"),
+        F.col("n").cast("long").alias("n_points"),
+        "first_ts",
+    )
+
+
+def _sql_ev_agg_ints(seconds: int, cond: str) -> str:
+    return (
+        _sql_grid_base(_ev_src(cond))
+        + f"""
+SELECT conv_id, (slot_s // {seconds}) * {seconds} AS window_s,
+       count(*) AS n_slots,
+       CAST(sum(n_turns) AS BIGINT) AS n_turns,
+       CAST(sum(tokens_user) AS BIGINT) AS tokens_user,
+       CAST(sum(tokens_assistant) AS BIGINT) AS tokens_assistant,
+       CAST(sum(tokens_tool) AS BIGINT) AS tokens_tool,
+       CAST(sum(tool_calls) AS BIGINT) AS tool_calls,
+       CAST(sum(n_turns) AS DOUBLE) / count(*) AS turn_rate
+FROM dense GROUP BY 1, 2
+"""
+    )
+
+
+SQL_TRANSCRIPT_EV_SLOTS_OBS = _sql_obs(_ev_src("all"))
+SQL_TRANSCRIPT_EV_GRID_1M_INTS = (
+    _sql_grid_base(_ev_src("mod5_4d"))
+    + "SELECT conv_id, slot_s, present, n_turns, tokens_user, tokens_assistant, tokens_tool, tool_calls FROM dense"
+)
+SQL_TRANSCRIPT_EV_AGG_1H_INTS = _sql_ev_agg_ints(3600, "mod5")
+SQL_TRANSCRIPT_EV_AGG_1D_INTS = _sql_ev_agg_ints(86400, "all")
+SQL_TRANSCRIPT_EV_PACK_META = (
+    _sql_grid_base(_ev_src("mod5"))
+    + """
+SELECT conv_id, (slot_s // 3600) * 3600 AS window_s,
+       count(*) AS n_points, min(slot_s) AS first_ts
+FROM dense GROUP BY 1, 2
+"""
+)
+
+# (builder, oracle SQL) pairs fit for the main queries.REGISTRY: the SQL
+# references ONLY the driver's registered views.
+EV_REGISTRY: dict[str, tuple] = {
+    "transcript_ev_slots_obs": (transcript_ev_slots_obs, SQL_TRANSCRIPT_EV_SLOTS_OBS),
+    "transcript_ev_grid_1m_ints": (transcript_ev_grid_1m_ints, SQL_TRANSCRIPT_EV_GRID_1M_INTS),
+    "transcript_ev_agg_1h_ints": (transcript_ev_agg_1h_ints, SQL_TRANSCRIPT_EV_AGG_1H_INTS),
+    "transcript_ev_agg_1d_ints": (transcript_ev_agg_1d_ints, SQL_TRANSCRIPT_EV_AGG_1D_INTS),
+    "transcript_ev_pack_meta": (transcript_ev_pack_meta, SQL_TRANSCRIPT_EV_PACK_META),
+}
+
+# fixture-based engine projections, also REGISTRY-shaped (VERDICT r2 #1)
+FIXTURE_REGISTRY: dict[str, tuple] = {
+    "transcript_slots_obs": (transcript_slots_obs, SQL_TRANSCRIPT_SLOTS_OBS),
+    "transcript_grid_1m_ints": (transcript_grid_1m_ints, SQL_TRANSCRIPT_GRID_1M_INTS),
+    "transcript_agg_1h_ints": (transcript_agg_1h_ints, SQL_TRANSCRIPT_AGG_1H_INTS),
+    "transcript_agg_1d_ints": (transcript_agg_1d_ints, SQL_TRANSCRIPT_AGG_1D_INTS),
+    "transcript_pack_meta": (transcript_pack_meta, SQL_TRANSCRIPT_PACK_META),
+}
+
+
 TRANSCRIPT_QUERIES = {
     "transcript_tier_1m": transcript_tier_1m,
     "transcript_agg_1h": transcript_agg_1h,
@@ -227,6 +412,7 @@ TRANSCRIPT_QUERIES = {
     "transcript_agg_1h_ints": transcript_agg_1h_ints,
     "transcript_agg_1d_ints": transcript_agg_1d_ints,
     "transcript_pack_meta": transcript_pack_meta,
+    **{name: b for name, (b, _sql) in EV_REGISTRY.items()},
 }
 
 TRANSCRIPT_ORACLES = {
@@ -235,4 +421,5 @@ TRANSCRIPT_ORACLES = {
     "transcript_agg_1h_ints": SQL_TRANSCRIPT_AGG_1H_INTS,
     "transcript_agg_1d_ints": SQL_TRANSCRIPT_AGG_1D_INTS,
     "transcript_pack_meta": SQL_TRANSCRIPT_PACK_META,
+    **{name: sql for name, (_b, sql) in EV_REGISTRY.items()},
 }
