@@ -348,7 +348,9 @@ def sample(df: DataFrame, frac: float, key_cols: Sequence[str], salt: int = 0) -
     R/sits_sample_functions.R:27): keeps a row iff
     hash(key) mod 2^16 < frac * 2^16. Reproducible across runs/engines,
     no RNG state, embarrassingly parallel."""
-    h = F.abs(F.hash(*[F.col(c) for c in key_cols], F.lit(salt))) % 65536
+    # pmod, not abs+%: abs(INT_MIN) overflows negative and would keep the
+    # row regardless of frac (a ~2^-32 deterministic bias)
+    h = F.pmod(F.hash(*[F.col(c) for c in key_cols], F.lit(salt)), F.lit(65536))
     return df.where(h < int(frac * 65536))
 
 
@@ -361,7 +363,7 @@ def stratified_sample(
     gate = F.lit(-1)
     for lbl, fr in fractions.items():
         gate = F.when(F.col(label_col) == lbl, F.lit(int(fr * 65536))).otherwise(gate)
-    h = F.abs(F.hash(*[F.col(c) for c in key_cols])) % 65536
+    h = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(65536))
     return df.where(h < gate)
 
 
@@ -405,7 +407,11 @@ def detect_change(
     flagged = df.select(
         *keys, *order_by, cum.alias("cum_llr")
     ).where(F.col("cum_llr") >= tau)
-    firsts = flagged.groupBy(*keys).agg(
-        *[F.min(c).alias(f"first_{c}") for c in order_by],
+    # lexicographic minimum in ONE struct so a multi-column ordering
+    # reports an actual flagged row, not a per-column min mixture
+    first = F.min(F.struct(*order_by)).alias("_first")
+    firsts = flagged.groupBy(*keys).agg(first)
+    return firsts.select(
+        *keys,
+        *[F.col(f"_first.{c}").alias(f"first_{c}") for c in order_by],
     )
-    return firsts

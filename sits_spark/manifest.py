@@ -29,7 +29,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MANIFEST_SCHEMA = "tier string, bucket int, input_fingerprint string, row_count long, run_id string"
+MANIFEST_SCHEMA = (
+    "tier string, bucket int, input_fingerprint string, row_count long, "
+    "run_id string, seq long"
+)
 
 # Resume/commit granularity (Iceberg bucket(conv_id) stand-in). Since the
 # fused single-write pipeline, write parallelism is the range-partition
@@ -82,15 +85,42 @@ class ManifestStore:
         return tables
 
     def committed_buckets(self, tier: str, fingerprint: str) -> set[int]:
-        out: set[int] = set()
+        """Buckets whose LATEST manifest row (max seq) is a live commit.
+
+        A tombstone (row_count == -1) written by ``invalidate`` before a
+        bucket's directories are dropped supersedes earlier commits, so a
+        run killed between the drop and the re-commit leaves the bucket
+        visibly missing instead of silently claiming deleted files."""
+        latest: dict[int, tuple[int, int]] = {}
         for t in self._read_all():
             d = t.to_pydict()
-            for tt, b, fpv in zip(d["tier"], d["bucket"], d["input_fingerprint"]):
-                if tt == tier and fpv == fingerprint:
-                    out.add(b)
-        return out
+            seqs = d.get("seq") or [0] * len(d["tier"])
+            for tt, b, fpv, rc, sq in zip(
+                d["tier"], d["bucket"], d["input_fingerprint"], d["row_count"], seqs
+            ):
+                if tt != tier or fpv != fingerprint:
+                    continue
+                sq = sq or 0
+                if b not in latest or sq >= latest[b][0]:
+                    latest[b] = (sq, rc)
+        return {b for b, (_sq, rc) in latest.items() if rc >= 0}
 
-    def commit(self, rows: list[tuple[str, int, str, int, str]]) -> None:
+    def _next_seq(self) -> int:
+        top = 0
+        for t in self._read_all():
+            col = t.to_pydict().get("seq")
+            if col:
+                top = max(top, max(s or 0 for s in col))
+        return top + 1
+
+    def commit(
+        self, rows: list[tuple[str, int, str, int, str]], seq: int | None = None
+    ) -> None:
+        self._write_rows(rows, seq)
+
+    def _write_rows(
+        self, rows: list[tuple[str, int, str, int, str]], seq: int | None = None
+    ) -> None:
         if not rows:
             return
         import uuid
@@ -99,6 +129,8 @@ class ManifestStore:
         import pyarrow.parquet as pq
 
         os.makedirs(self.path, exist_ok=True)
+        if seq is None:
+            seq = self._next_seq()
         table = pa.table(
             {
                 "tier": [r[0] for r in rows],
@@ -106,12 +138,22 @@ class ManifestStore:
                 "input_fingerprint": [r[2] for r in rows],
                 "row_count": pa.array([r[3] for r in rows], pa.int64()),
                 "run_id": [r[4] for r in rows],
+                "seq": pa.array([seq] * len(rows), pa.int64()),
             }
         )
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.parquet")
         pq.write_table(table, tmp)
         # atomic publish: readers never see a partial manifest file
         os.rename(tmp, os.path.join(self.path, f"commit-{uuid.uuid4().hex}.parquet"))
+
+    def invalidate(
+        self, tiers: list[str], buckets: list[int], fingerprint: str, run_id: str
+    ) -> None:
+        """Tombstone (tier, bucket) rows under ``fingerprint`` BEFORE their
+        directories are rewritten (row_count = -1, superseding seq)."""
+        self._write_rows(
+            [(t, b, fingerprint, -1, run_id) for t in tiers for b in buckets]
+        )
 
     def plan_missing(
         self, tier: str, fingerprint: str, n_buckets: int = N_BUCKETS

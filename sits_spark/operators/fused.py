@@ -274,7 +274,19 @@ def fused_write(
     """Observed 1-minute slots -> partitioned tier table on disk.
 
     Returns the (lazy) per-(tier, bucket) row-count stats DataFrame; the
-    caller's action on it IS the write job."""
+    caller's action on it IS the write job.
+
+    Constraint: tasks write deterministic file names with no output-commit
+    coordinator, which is only safe when a task attempt cannot run twice
+    concurrently — i.e. speculation off. Idempotent under sequential task
+    RETRY (same name, same content); enforced here rather than assumed."""
+    spark = observed.sparkSession
+    if spark.conf.get("spark.speculation", "false").lower() == "true":
+        raise RuntimeError(
+            "fused_write requires spark.speculation=false: concurrent task "
+            "attempts would write the same deterministic file names. Use "
+            "manifest.write_tier (Spark-committed) or disable speculation."
+        )
     return _cluster(observed, partitions).mapInArrow(
         _write_iter(table_path, tiers, with_pack), STATS_SCHEMA
     )

@@ -147,6 +147,10 @@ class RollupPipeline:
                 self.range_partitions,
                 with_pack=with_pack,
             )
+            # tombstone BEFORE dropping: a kill between the drop and the
+            # re-commit must leave these buckets visibly missing, not
+            # claiming deleted files (manifest rows supersede by seq)
+            self.store.invalidate(tier_names, group, fp, run_id)
             self._drop_bucket_dirs(group)
             # collecting the stats IS the write action; counts feed lineage
             counts = {

@@ -145,15 +145,19 @@ def ts_regularize_first(spark, sf_dir):
     """Regularization aggregate: first value per period bucket in
     deterministic quality order — the `agg_method="first"` +
     least-cloud-first pattern (/root/reference/R/api_regularize.R:68-73,
-    R/api_gdalcubes.R:14-47,556-564); here order = (ts, event_id)."""
+    R/api_gdalcubes.R:14-47,556-564); here order = (ts, event_id).
+
+    One-pass hash aggregate: min_by over the (ts, event_id) ordering
+    struct replaces row_number's sort-shuffle — partial aggregation
+    (map-side combine) does the selection without ever sorting the
+    partition, which at 100x data is the difference between a hash agg
+    and a full range sort."""
     e = _t(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").alias("day")
-    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
     return (
         e.select("user_id", day, "value", "ts", "event_id")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "day", F.col("value").alias("first_value"))
+        .groupBy("user_id", "day")
+        .agg(F.min_by("value", F.struct("ts", "event_id")).alias("first_value"))
     )
 
 
@@ -656,14 +660,18 @@ def doc_ngram_jaccard(spark, sf_dir):
     shingles only (df <= 20 — the standard inverted-index pruning), pairs
     with Jaccard >= 0.5 over rare-shingle sets."""
     d = _t(spark, sf_dir, "documents")
+    # materialize split(text) ONCE per row: Catalyst does no CSE inside
+    # lambda bodies, so indexing the split inline re-tokenizes the document
+    # for every shingle (O(len^2) per doc)
     sh = d.select(
+        "doc_id", F.split("text", r"\s+").alias("w")
+    ).select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(0, size(split(text, '\\\\s+')) - 3),"
-                    " i -> concat(split(text, '\\\\s+')[i], ' ',"
-                    " split(text, '\\\\s+')[i+1], ' ', split(text, '\\\\s+')[i+2]))"
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
                 )
             )
         ).alias("s"),
@@ -1316,9 +1324,11 @@ def ts_bayts_change(spark, sf_dir):
     conditional probability p = phi_changed(v) / (phi_changed(v) +
     phi_stable(v)) clamped to the bwf range, chained by Bayes' rule. In
     odds space the chain is a cumulative SUM of log-odds, which makes the
-    sequential update a window aggregation; the per-step log-odds are
-    rounded to 6 dp and fixed-pointed so the cumulative comparison is
-    integer-exact on both engines. Emits each user's first flagged ts."""
+    sequential update a window aggregation. Both p and the log-odds are
+    quantized to grids 100x coarser than the fixed-point step (p to 6 dp,
+    llr to a 1e-4 step), so a ~1-ulp exp/ln difference between the JVM and
+    DuckDB libm cannot flip the cumulative integer comparison except on a
+    doubly-degenerate boundary. Emits each user's first flagged ts."""
     e = _t(spark, sf_dir, "events")
     v = F.col("value")
 
@@ -1327,17 +1337,18 @@ def ts_bayts_change(spark, sf_dir):
 
     p = phi(_BAYTS_MU_N, _BAYTS_SD_N) / (phi(_BAYTS_MU_N, _BAYTS_SD_N) + phi(_BAYTS_MU_F, _BAYTS_SD_F))
     p = F.greatest(F.least(p, F.lit(_BAYTS_BWF_HI)), F.lit(_BAYTS_BWF_LO))
-    # fixed-point via floor of identical doubles (cast-to-long truncates
-    # in Spark but rounds in DuckDB; floor is identical in both)
-    llr_fp = F.floor(F.log(p / (F.lit(1.0) - p)) * 1_000_000)
+    p = F.round(p, 6)
+    # half-away-from-zero rounding in BOTH engines (Spark HALF_UP on
+    # doubles == DuckDB round); misaligned with the 6-dp grid above
+    llr_fp = F.round(F.log(p / (F.lit(1.0) - p)) * 10_000, 0).cast("long")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = F.sum(llr_fp.cast("long")).over(w)  # floor() returns long already
+    cum = F.sum(llr_fp).over(w)
     flagged = e.select("user_id", "ts", cum.alias("cum_llr_fp")).where(
-        F.col("cum_llr_fp") >= int(_BAYTS_TAU * 1_000_000)
+        F.col("cum_llr_fp") >= int(_BAYTS_TAU * 10_000)
     )
     return flagged.groupBy("user_id").agg(
         F.min("ts").alias("change_ts"),
@@ -1348,10 +1359,10 @@ def ts_bayts_change(spark, sf_dir):
 SQL_TS_BAYTS_CHANGE = f"""
 WITH llr AS (
   SELECT user_id, ts, event_id,
-    CAST(floor(ln(p / (1.0 - p)) * 1000000) AS BIGINT) AS llr_fp
+    CAST(round(ln(p / (1.0 - p)) * 10000) AS BIGINT) AS llr_fp
   FROM (
     SELECT user_id, ts, event_id,
-      greatest(least(pn / (pn + pf), {_BAYTS_BWF_HI}), {_BAYTS_BWF_LO}) AS p
+      round(greatest(least(pn / (pn + pf), {_BAYTS_BWF_HI}), {_BAYTS_BWF_LO}), 6) AS p
     FROM (
       SELECT user_id, ts, event_id,
         exp(-pow(value - {_BAYTS_MU_N}, 2) / (2.0 * {_BAYTS_SD_N} * {_BAYTS_SD_N})) / ({_BAYTS_SD_N} * sqrt(2.0 * 3.141592653589793)) AS pn,
@@ -1367,7 +1378,7 @@ cum AS (
   FROM llr
 )
 SELECT user_id, min(ts) AS change_ts, CAST(max(cum_llr_fp) AS BIGINT) AS max_cum_llr_fp
-FROM cum WHERE cum_llr_fp >= {int(_BAYTS_TAU * 1_000_000)}
+FROM cum WHERE cum_llr_fp >= {int(_BAYTS_TAU * 10_000)}
 GROUP BY user_id
 """
 

@@ -141,12 +141,17 @@ def test_resume_after_kill_is_byte_identical(spark, input_path, golden, tmp_path
     pipe2 = RollupPipeline(spark, wh)
     pipe2.run(input_path, run_id="run-2")
     man = spark.read.schema(mf.MANIFEST_SCHEMA).parquet(os.path.join(wh, "_manifest")).toPandas()
-    done_first = set(man[man.run_id == "run-1"]["bucket"])
-    done_second = set(man[man.run_id == "run-2"]["bucket"])
+    live = man[man.row_count >= 0]  # drop pre-rewrite tombstones
+    done_first = set(live[live.run_id == "run-1"]["bucket"])
+    done_second = set(live[live.run_id == "run-2"]["bucket"])
     assert done_first == set(range(16))  # first of 4 groups over 64 buckets
     assert done_second == set(range(16, 64))
     for tier in ("tier_1m", "agg", "packed_1h"):
-        assert set(man[man.tier == tier]["bucket"]) == set(range(64))
+        assert set(live[live.tier == tier]["bucket"]) == set(range(64))
+    # the killed group's tombstones exist (and were superseded by run-2)
+    assert set(man[(man.row_count < 0) & (man.run_id == "run-1")]["bucket"]) >= set(
+        range(16, 32)
+    )
 
     got = _spark_tier(spark, wh, "agg").where(F.col("tier") == "1h").drop("tier").toPandas()
     assert_frames_bitexact(got, golden["agg_1h"], ["conv_id", "window_start"])
