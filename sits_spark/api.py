@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Callable, Iterator, Mapping, Sequence
 
 import numpy as np
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
 import pyarrow as pa
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -44,9 +45,12 @@ __all__ = [
     "label_classification",
     "uncertainty",
     "normalize",
+    "reclassify",
+    "predictors",
     "sample",
     "stratified_sample",
     "detect_change",
+    "detect_change_dtw",
 ]
 
 
@@ -340,6 +344,60 @@ def normalize(
     )
 
 
+# ----------------------------------------------------------- reclassify
+
+
+def reclassify(
+    df: DataFrame,
+    col: str,
+    rules: Mapping[str, str],
+    default: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rule-based label remap (reference sits_reclassify,
+    R/sits_reclassify.R + R/api_reclassify.R): an ordered CASE cascade —
+    first matching rule wins. Labels matching no rule keep their value
+    (or take ``default`` when given). Pure Catalyst, no shuffle."""
+    expr: Column | None = None
+    for old, new in rules.items():
+        cond = F.col(col) == old
+        expr = F.when(cond, new) if expr is None else expr.when(cond, new)
+    fallback = F.lit(default) if default is not None else F.col(col)
+    expr = fallback if expr is None else expr.otherwise(fallback)
+    return df.withColumn(out_col or col, expr)
+
+
+# ----------------------------------------------------------- predictors
+
+
+def predictors(
+    df: DataFrame,
+    keys: Sequence[str],
+    band_col: str,
+    value_col: str,
+    bands: Sequence[str],
+    prefix: str = "",
+) -> DataFrame:
+    """Long -> wide ML-feature pivot (reference's predictors layout,
+    R/api_predictors.R:38-42 pivot_wider): one row per key tuple, one
+    column per band holding that band's exact mean.
+
+    ``bands`` is REQUIRED and fixes the column order: without an explicit
+    value list Spark's pivot runs an extra distinct job over the data and
+    the column order becomes data-dependent — both wrong at scale. The
+    mean sums exact decimals (order-insensitive) and divides once."""
+    cell = F.round(
+        F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double")
+        / F.count(value_col),
+        6,
+    )
+    wide = df.groupBy(*keys).pivot(band_col, list(bands)).agg(cell)
+    if prefix:
+        for b in bands:
+            wide = wide.withColumnRenamed(str(b), f"{prefix}{b}")
+    return wide
+
+
 # ---------------------------------------------------------------- sample
 
 
@@ -414,4 +472,68 @@ def detect_change(
     return firsts.select(
         *keys,
         *[F.col(f"_first.{c}").alias(f"first_{c}") for c in order_by],
+    )
+
+
+def detect_change_dtw(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value: str,
+    patterns: Mapping[str, Sequence[float]],
+    window: int = 4,
+    threshold: float = 60.0,
+) -> DataFrame:
+    """DTW pattern-based change detection — the reference's second
+    detect-change mode (src/dtw.cpp:73-105 symmetric-2 DTW;
+    R/api_dtw.R:11-27 windowed search; R/sits_detect_change.R dispatch).
+
+    Each key's series is cut into tumbling ``window``-length slices in
+    ``order_by`` order; per slice, the DTW distance to every pattern (a
+    tiny dict shipped in the UDF closure — never joined); a change fires
+    when the best distance is <= ``threshold``. One sort shuffle + one
+    hash agg + one Arrow-batched vectorized-DP UDF; incomplete trailing
+    windows are dropped (no partial-window semantics)."""
+    from . import kernels
+
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    rn = F.row_number().over(w) - 1
+    win = df.select(*keys, F.col(value).alias("_v"), rn.alias("_rn")).withColumn(
+        "win_id", F.floor(F.col("_rn") / window)
+    )
+    arrs = (
+        win.groupBy(*keys, "win_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_rn", "_v"))),
+                lambda x: x["_v"],
+            ).alias("vals")
+        )
+        .where(F.size("vals") == window)
+    )
+    names = sorted(patterns)
+    pats = {k: np.asarray(patterns[k], dtype=np.float64) for k in names}
+
+    @F.pandas_udf("array<double>")
+    def dtw_all(vals: pd.Series) -> pd.Series:
+        wins = np.stack(vals.to_numpy())
+        out = np.stack([kernels.dtw_windows(wins, pats[k]) for k in names], axis=1)
+        return pd.Series(list(out))
+
+    d = arrs.select(*keys, "win_id", dtw_all("vals").alias("_ds")).select(
+        *keys,
+        "win_id",
+        *[F.col("_ds")[i].alias(f"d_{n}") for i, n in enumerate(names)],
+    )
+    dcols = [F.col(f"d_{n}") for n in names]
+    best_d = dcols[0] if len(dcols) == 1 else F.least(*dcols)
+    best = F.lit(None)
+    for name in reversed(names):
+        best = F.when(F.col(f"d_{name}") == best_d, name).otherwise(best)
+    return d.select(
+        *keys,
+        "win_id",
+        *[f"d_{n}" for n in names],
+        best.alias("best_pattern"),
+        (best_d <= threshold).alias("is_change"),
     )

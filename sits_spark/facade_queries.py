@@ -173,8 +173,53 @@ FROM sm
 """
 
 
+def api_reclassify_predictors(spark, sf_dir):
+    """reclassify (CASE-cascade label remap, R/sits_reclassify.R) chained
+    into the predictors wide pivot (R/api_predictors.R:38-42): engagement
+    classes from event types, then one exact-mean column per class per
+    user — the long->wide ML feature layout with a FIXED column order."""
+    e = _events(spark, sf_dir)
+    rc = api.reclassify(
+        e,
+        "event_type",
+        {"click": "engage", "view": "engage", "purchase": "convert"},
+        out_col="cls",
+    )
+    return api.predictors(
+        rc, ["user_id"], "cls", "value", ["engage", "convert", "signup", "error"],
+        prefix="m_",
+    )
+
+
+SQL_API_RECLASSIFY_PREDICTORS = f"""
+WITH rc AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'click' THEN 'engage'
+              WHEN event_type = 'view' THEN 'engage'
+              WHEN event_type = 'purchase' THEN 'convert'
+              ELSE event_type END AS cls,
+         value
+  FROM events
+)
+SELECT user_id,
+  CAST(round(CAST(sum(CASE WHEN cls = 'engage' THEN CAST(value AS {_DEC}) END) AS DOUBLE)
+       / count(CASE WHEN cls = 'engage' THEN value END), 6) AS DOUBLE) AS m_engage,
+  CAST(round(CAST(sum(CASE WHEN cls = 'convert' THEN CAST(value AS {_DEC}) END) AS DOUBLE)
+       / count(CASE WHEN cls = 'convert' THEN value END), 6) AS DOUBLE) AS m_convert,
+  CAST(round(CAST(sum(CASE WHEN cls = 'signup' THEN CAST(value AS {_DEC}) END) AS DOUBLE)
+       / count(CASE WHEN cls = 'signup' THEN value END), 6) AS DOUBLE) AS m_signup,
+  CAST(round(CAST(sum(CASE WHEN cls = 'error' THEN CAST(value AS {_DEC}) END) AS DOUBLE)
+       / count(CASE WHEN cls = 'error' THEN value END), 6) AS DOUBLE) AS m_error
+FROM rc GROUP BY user_id
+"""
+
+
 FACADE_REGISTRY: dict[str, tuple] = {
     "api_verbs_chain": (api_verbs_chain, SQL_API_VERBS_CHAIN),
+    "api_reclassify_predictors": (
+        api_reclassify_predictors,
+        SQL_API_RECLASSIFY_PREDICTORS,
+    ),
     "api_reduce_moments": (api_reduce_moments, SQL_API_REDUCE_MOMENTS),
     "api_smooth_bayes": (api_smooth_bayes, SQL_API_SMOOTH_BAYES),
     "api_normalize_uncertainty": (

@@ -450,3 +450,37 @@ def temp_quantile(mtx: np.ndarray, p: float) -> np.ndarray:
 def temp_iqr(mtx: np.ndarray) -> np.ndarray:
     """reduce_fns.cpp:89-92."""
     return temp_quantile(mtx, 0.75) - temp_quantile(mtx, 0.25)
+
+
+def dtw_windows(wins: np.ndarray, pattern: np.ndarray) -> np.ndarray:
+    """Symmetric-2 DTW distance of many equal-length windows vs one
+    pattern (reference /root/reference/src/dtw.cpp:73-105: Giorgino 2009
+    step pattern `d[i][j] = min(d[i-1][j-1] + 2c, d[i][j-1] + c,
+    d[i-1][j] + c)`), univariate — the reference's p-norm over a 1-band
+    sample reduces to |a - b| for every p (src/dtw.cpp:36-48 with one
+    column), so no pow/root enters the DP and the arithmetic is a fixed
+    sequence of +, 2*, min — bit-deterministic and SQL-reproducible.
+
+    Vectorized across windows: the DP loop runs w*m cell steps, each a
+    (W,)-wide numpy op — one Python-level iteration per CELL, not per
+    window, mirroring how the smoothers batch conversations."""
+    wins = np.asarray(wins, dtype=np.float64)
+    pattern = np.asarray(pattern, dtype=np.float64)
+    n_w, w = wins.shape
+    m = len(pattern)
+    # cost[:, i, j] = |wins[:, i] - pattern[j]|
+    cost = np.abs(wins[:, :, None] - pattern[None, None, :])
+    d = np.empty((n_w, w, m), dtype=np.float64)
+    d[:, 0, 0] = cost[:, 0, 0]
+    for i in range(1, w):
+        d[:, i, 0] = d[:, i - 1, 0] + cost[:, i, 0]
+    for j in range(1, m):
+        d[:, 0, j] = d[:, 0, j - 1] + cost[:, 0, j]
+    for i in range(1, w):
+        for j in range(1, m):
+            c = cost[:, i, j]
+            d[:, i, j] = np.minimum(
+                d[:, i - 1, j - 1] + 2.0 * c,
+                np.minimum(d[:, i, j - 1] + c, d[:, i - 1, j] + c),
+            )
+    return d[:, w - 1, m - 1]

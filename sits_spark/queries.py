@@ -18,6 +18,7 @@ Determinism rules (so order-insensitive value hashes match exactly):
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1125,7 +1126,8 @@ FROM events GROUP BY user_id
 
 def ts_rolling_focal(spark, sf_dir):
     """Focal/rolling window kernels over +-2 neighbors
-    (/root/reference/src/kernel.cpp:62-89 w_mean/w_sd/w_min/w_max/w_median,
+    (/root/reference/src/kernel.cpp:22-89 — the FULL family incl. w_modal
+    and w_var used by sits_clean's modal filter, R/sits_clean.R —
     applied along the series axis per /root/reference/R/api_apply.R:284-330):
     frame = 5 rows centered on each event in (ts, event_id) order."""
     e = _t(spark, sf_dir, "events")
@@ -1135,17 +1137,27 @@ def ts_rolling_focal(spark, sf_dir):
         .rowsBetween(-2, 2)
     )
     v = F.col("value")
-    return e.select(
+    # w_modal: most frequent value in the frame, ties broken by smallest
+    # value (deterministic, unlike mode()); frame is tiny (5), so the
+    # nested count expressions are O(25) per row
+    modal = (
+        "array_min(filter(warr, x -> "
+        " size(filter(warr, y -> y = x)) ="
+        " array_max(transform(warr, x -> size(filter(warr, y -> y = x))))))"
+    )
+    return e.withColumn("warr", F.collect_list(v).over(w)).select(
         "event_id",
         "user_id",
         _r6(F.avg(v).over(w)).alias("w_mean"),
         _r6(F.stddev_samp(v).over(w)).alias("w_sd"),
+        _r6(F.var_samp(v).over(w)).alias("w_var"),
         F.min(v).over(w).alias("w_min"),
         F.max(v).over(w).alias("w_max"),
         _r6(F.expr(
             "percentile(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)"
         )).alias("w_median"),
+        F.expr(modal).alias("w_modal"),
     )
 
 
@@ -1153,10 +1165,17 @@ SQL_TS_ROLLING_FOCAL = """
 SELECT event_id, user_id,
        CAST(round(avg(value) OVER w, 6) AS DOUBLE) AS w_mean,
        CAST(round(stddev_samp(value) OVER w, 6) AS DOUBLE) AS w_sd,
+       CAST(round(var_samp(value) OVER w, 6) AS DOUBLE) AS w_var,
        min(value) OVER w AS w_min,
        max(value) OVER w AS w_max,
-       CAST(round(CAST(quantile_cont(value, 0.5) OVER w AS DOUBLE), 6) AS DOUBLE) AS w_median
-FROM events
+       CAST(round(CAST(quantile_cont(value, 0.5) OVER w AS DOUBLE), 6) AS DOUBLE) AS w_median,
+       list_min(list_filter(warr, x ->
+         len(list_filter(warr, y -> y = x)) =
+         list_max(list_transform(warr, x -> len(list_filter(warr, y -> y = x)))))) AS w_modal
+FROM (
+  SELECT *, list(value) OVER w AS warr FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+)
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
 """
 
@@ -1666,6 +1685,165 @@ REGISTRY.update(
         "ts_merge_densify": (ts_merge_densify, SQL_TS_MERGE_DENSIFY),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# F2. DTW pattern-based change detection (round-3)
+# ---------------------------------------------------------------------------
+
+_DTW_W = 4  # tumbling window length (series points)
+_DTW_THRESHOLD = 60.0
+# exact-binary-fraction literals so both engines parse identical doubles
+_DTW_PATTERNS = {"ramp_up": (10.5, 25.0, 40.25), "spike": (5.25, 60.5, 5.25)}
+
+
+def ts_dtw_change(spark, sf_dir):
+    """DTW pattern-based change detection — the reference's second
+    detect-change mode (/root/reference/src/dtw.cpp:73-105 symmetric-2
+    recurrence; windowed search R/api_dtw.R:11-27 .dtw_distance_windowed;
+    R/sits_detect_change.R dispatch): each user's series is cut into
+    tumbling windows; per window the DTW distance to every pattern in a
+    tiny broadcast pattern set; a change fires when the best distance is
+    under threshold.
+
+    Spark shape: one window-sort shuffle to index the series, a hash agg
+    assembling each window's value array, then ONE Arrow-batched pandas
+    UDF running the vectorized DP across all windows of the batch
+    (kernels.dtw_windows — per-cell numpy steps, no per-window Python).
+    Patterns are literals in the closure: nothing is broadcast-joined,
+    nothing is quadratic. Univariate p-norm = |a-b| (dtw.cpp:36-48 with
+    one band), so the DP is +/2*/min only — the oracle replays it as
+    layered closed-form SQL, making this a hash-checked DTW."""
+    import numpy as np
+
+    from . import kernels
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w) - 1
+    win = e.select("user_id", "value", rn.alias("rn")).select(
+        "user_id", "value", "rn", F.floor(F.col("rn") / _DTW_W).alias("win_id")
+    )
+    arrs = (
+        win.groupBy("user_id", "win_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "value"))),
+                lambda x: x["value"],
+            ).alias("vals")
+        )
+        .where(F.size("vals") == _DTW_W)
+    )
+
+    pats = {k: np.array(v, dtype=np.float64) for k, v in _DTW_PATTERNS.items()}
+
+    @F.pandas_udf("array<double>")
+    def dtw_all(vals: pd.Series) -> pd.Series:
+        wins = np.stack(vals.to_numpy())
+        out = np.stack(
+            [kernels.dtw_windows(wins, pats[k]) for k in sorted(pats)], axis=1
+        )
+        return pd.Series(list(out))
+
+    names = sorted(_DTW_PATTERNS)
+    d = arrs.select("user_id", "win_id", dtw_all("vals").alias("ds"))
+    cols = [
+        _r6(F.col("ds")[i]).alias(f"d_{name}") for i, name in enumerate(names)
+    ]
+    d = d.select("user_id", "win_id", *cols)
+    best_d = F.least(*[F.col(f"d_{n}") for n in names])
+    # ties break to the alphabetically first pattern (deterministic)
+    best = F.lit(None)
+    for name in reversed(names):
+        best = F.when(F.col(f"d_{name}") == best_d, name).otherwise(best)
+    return d.select(
+        "user_id",
+        "win_id",
+        *[f"d_{n}" for n in names],
+        best.alias("best_pattern"),
+        (best_d <= _DTW_THRESHOLD).alias("is_change"),
+    )
+
+
+def _sql_dtw() -> str:
+    wn, names = _DTW_W, sorted(_DTW_PATTERNS)
+    vcols = [f"v{i}" for i in range(wn)]
+    pivots = ",\n         ".join(
+        f"max(CASE WHEN rn % {wn} = {i} THEN value END) AS v{i}"
+        for i in range(wn)
+    )
+    # layer 0: all costs + first row/column of each pattern's DP table
+    l0 = []
+    for p, name in enumerate(names):
+        q = _DTW_PATTERNS[name]
+        m = len(q)
+        for i in range(wn):
+            for j in range(m):
+                l0.append(f"abs({vcols[i]} - {q[j]!r}) AS c{i}{j}_{p}")
+        l0.append(f"abs({vcols[0]} - {q[0]!r}) AS d00_{p}")
+    layer1 = []
+    for p, name in enumerate(names):
+        m = len(_DTW_PATTERNS[name])
+        for i in range(1, wn):
+            layer1.append(f"d{i-1}0_{p} + c{i}0_{p} AS d{i}0_{p}")
+        for j in range(1, m):
+            layer1.append(f"d0{j-1}_{p} + c0{j}_{p} AS d0{j}_{p}")
+    # anti-diagonal layers: cell (i,j) depends on (i-1,j-1), (i,j-1), (i-1,j)
+    diag_layers: list[list[str]] = []
+    for k in range(2, wn + max(len(v) for v in _DTW_PATTERNS.values()) - 1):
+        cells = []
+        for p, name in enumerate(names):
+            m = len(_DTW_PATTERNS[name])
+            for i in range(1, wn):
+                j = k - i
+                if 1 <= j < m:
+                    cells.append(
+                        f"least(d{i-1}{j-1}_{p} + 2*c{i}{j}_{p}, "
+                        f"d{i}{j-1}_{p} + c{i}{j}_{p}, "
+                        f"d{i-1}{j}_{p} + c{i}{j}_{p}) AS d{i}{j}_{p}"
+                    )
+        if cells:
+            diag_layers.append(cells)
+    layers_sql = f"l1 AS (SELECT *, {', '.join(layer1)} FROM l0)"
+    prev = "l1"
+    for li, cells in enumerate(diag_layers):
+        nm = f"l{li + 2}"
+        layers_sql += f",\n{nm} AS (SELECT *, {', '.join(cells)} FROM {prev})"
+        prev = nm
+    finals = [
+        f"CAST(round(d{wn-1}{len(_DTW_PATTERNS[n])-1}_{p}, 6) AS DOUBLE) AS d_{n}"
+        for p, n in enumerate(names)
+    ]
+    dd = [f"d_{n}" for n in names]
+    best_d = f"least({', '.join(dd)})"
+    best = "NULL"
+    for n in reversed(names):
+        best = f"CASE WHEN d_{n} = {best_d} THEN '{n}' ELSE {best} END"
+    return f"""
+WITH seq AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+  FROM events
+),
+win AS (
+  SELECT user_id, rn // {wn} AS win_id,
+         {pivots},
+         count(*) AS n
+  FROM seq GROUP BY 1, 2
+),
+l0 AS (SELECT user_id, win_id, {', '.join(l0)} FROM win WHERE n = {wn}),
+{layers_sql},
+dist AS (SELECT user_id, win_id, {', '.join(finals)} FROM {prev})
+SELECT user_id, win_id, {', '.join(dd)},
+       {best} AS best_pattern,
+       {best_d} <= {_DTW_THRESHOLD!r} AS is_change
+FROM dist
+"""
+
+
+SQL_TS_DTW_CHANGE = _sql_dtw()
+
+REGISTRY.update({"ts_dtw_change": (ts_dtw_change, SQL_TS_DTW_CHANGE)})
 
 
 # ---------------------------------------------------------------------------

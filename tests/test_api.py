@@ -161,3 +161,48 @@ def test_detect_change_first_flag(spark):
     calm = spark.createDataFrame([("k", i, 0.0) for i in range(10)], "key string, ts int, v double")
     assert api.detect_change(
         calm, ["key"], ["ts"], "v", 0.0, 1.0, 5.0, 1.0, tau=2.0).count() == 0
+
+
+def test_reclassify_cascade(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "cls string"
+    )
+    got = {
+        r.cls for r in api.reclassify(df, "cls", {"a": "x", "b": "x"}).collect()
+    }
+    assert got == {"x", "c"}
+    dflt = api.reclassify(df, "cls", {"a": "x"}, default="other", out_col="c2")
+    assert {r.c2 for r in dflt.collect()} == {"x", "other"}
+
+
+def test_predictors_pivot_order_and_values(spark):
+    df = spark.createDataFrame(
+        [("u1", "b1", 1.0), ("u1", "b1", 3.0), ("u1", "b2", 5.0), ("u2", "b2", 7.0)],
+        "k string, band string, v double",
+    )
+    wide = api.predictors(df, ["k"], "band", "v", ["b2", "b1"], prefix="m_")
+    assert wide.columns == ["k", "m_b2", "m_b1"]
+    rows = {r.k: (r.m_b2, r.m_b1) for r in wide.collect()}
+    assert rows["u1"] == (5.0, 2.0)
+    assert rows["u2"][0] == 7.0 and rows["u2"][1] is None
+
+
+def test_detect_change_dtw(spark):
+    # series that IS the pattern in its second window -> distance 0 there
+    vals = [9.0, 9.0, 9.0, 9.0, 1.0, 2.0, 3.0, 4.0]
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, ts int, v double")
+    got = api.detect_change_dtw(
+        df, ["key"], ["ts"], "v",
+        {"exact": [1.0, 2.0, 3.0, 4.0], "far": [100.0, 100.0, 100.0]},
+        window=4, threshold=5.0,
+    ).orderBy("win_id").collect()
+    assert len(got) == 2
+    assert got[1].d_exact == 0.0
+    assert got[1].best_pattern == "exact" and bool(got[1].is_change)
+    assert got[0].best_pattern == "exact" and not bool(got[0].is_change)
+    # incomplete trailing window is dropped
+    df2 = spark.createDataFrame(rows + [("k", 8, 0.0)], "key string, ts int, v double")
+    assert api.detect_change_dtw(
+        df2, ["key"], ["ts"], "v", {"p": [1.0, 2.0]}, window=4
+    ).count() == 2

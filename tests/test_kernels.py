@@ -123,3 +123,36 @@ def test_temp_mse_parseval_identity():
     got = kernels.temp_mse(mtx)
     want = np.sum(mtx * mtx, axis=1)
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_dtw_windows_matches_reference_recurrence():
+    """Vectorized DP == direct transliteration of the symmetric-2
+    recurrence (src/dtw.cpp:73-105), bit-exact."""
+    def naive(a, b):
+        n, o = len(a), len(b)
+        d = np.zeros((n, o))
+        d[0][0] = abs(a[0] - b[0])
+        for i in range(1, n):
+            d[i][0] = d[i - 1][0] + abs(a[i] - b[0])
+        for j in range(1, o):
+            d[0][j] = d[0][j - 1] + abs(a[0] - b[j])
+        for i in range(1, n):
+            for j in range(1, o):
+                c = abs(a[i] - b[j])
+                d[i][j] = min(d[i - 1][j - 1] + 2 * c, d[i][j - 1] + c, d[i - 1][j] + c)
+        return d[n - 1][o - 1]
+
+    rng = np.random.default_rng(11)
+    for w, m in ((4, 3), (7, 7), (3, 9)):
+        wins = rng.normal(0, 10, (40, w))
+        pat = rng.normal(0, 10, m)
+        got = kernels.dtw_windows(wins, pat)
+        want = np.array([naive(win, pat) for win in wins])
+        assert np.array_equal(got, want)
+
+
+def test_dtw_identity_and_shift():
+    pat = np.array([1.0, 2.0, 3.0])
+    wins = np.array([[1.0, 2.0, 3.0], [2.0, 3.0, 4.0]])
+    d = kernels.dtw_windows(wins, pat)
+    assert d[0] == 0.0 and d[1] > 0.0
