@@ -290,6 +290,137 @@ def _process_group(tbl, lo: int, hi: int):
     }
 
 
+def _chunked_stream(obs: DataFrame, partitions: int) -> DataFrame:
+    """Anchor + data/halo stream clustered by (conv, chunk) with a
+    ``bucket`` column (constant per conv) for the partitioned write."""
+    from .. import manifest as mf
+
+    stream = _anchor_table(obs).unionByName(_data_stream(obs))
+    clustered = (
+        stream.withColumn(
+            "gkey", F.concat_ws("#", "conv_id", F.format_string("%06d", "chunk"))
+        )
+        .withColumn("bucket", mf.bucket_expr())
+        .repartitionByRange(partitions, "conv_id", "chunk")
+        .sortWithinPartitions("conv_id", "chunk", "marker", "slot_s")
+    )
+    cols = (
+        ["gkey", "bucket"]
+        + [f.split(" ")[0] for f in _STREAM_SCHEMA.split(", ")]
+    )
+    return clustered.select(*cols)
+
+
+def _emit_group_tiers(writer, tbl, lo: int, hi: int, tiers, with_pack: bool):
+    """slot + agg + pack rows of ONE (conv, chunk) group, written via the
+    incremental writer. Chunk boundaries are epoch-day aligned
+    (engine_core.CHUNK_SLOTS % 1440 == 0), so every 1h/1d window and 1h
+    pack block lies wholly inside one chunk — per-chunk aggregation is
+    byte-equal to whole-conv aggregation restricted to the same windows."""
+    from .. import engine_core
+
+    res = _process_group(tbl, lo, hi)
+    if res is None:
+        return
+    n = len(res["slot_start"])
+    bucket = np.full(n, tbl["bucket"][lo], dtype=np.int32)
+    slot_s = res["slot_start"] // 1_000_000
+    slot_data = dict(res)
+    slot_data["bucket"] = bucket
+    slot_data["day"] = (slot_s // 86400).astype(np.int32)
+    writer.add("slot", slot_data, n)
+
+    flat = {"slot_start_s": slot_s, "alen_whit": res["alen_whit"]}
+    for k in engine_core._SUM_COLS:
+        flat[k] = res[k]
+    gb = np.array([0, n], dtype=np.int64)
+    cid = res["conv_id"][:1]
+    parts = [
+        (t, *engine_core.rollup_flat(flat, gb, engine_core.TIER_SECONDS[t]))
+        for t in tiers
+    ]
+    n_agg = sum(len(cw) for _t, _c, cw in parts)
+    if n_agg:
+        win = np.concatenate([c["window_start_s"] for _t, c, _w in parts])
+        agg_data = {
+            "conv_id": np.concatenate([cid[cw] for _t, _c, cw in parts]),
+            "tier": np.concatenate(
+                [np.full(len(cw), t, dtype=object) for t, _c, cw in parts]
+            ),
+            "window_start": win * 1_000_000,
+            "bucket": np.full(n_agg, bucket[0], dtype=np.int32),
+            "day": (win // 86400).astype(np.int32),
+        }
+        for k in engine_core.ROLLUP_COLS:
+            if k != "window_start_s":
+                agg_data[k] = np.concatenate([c[k] for _t, c, _w in parts])
+        writer.add("agg", agg_data, n_agg)
+
+    if with_pack:
+        pcols, pcw = engine_core.pack_flat(flat, gb, 3600)
+        if len(pcw):
+            pk_win = pcols["window_start_s"]
+            pack_data = {
+                "conv_id": cid[pcw],
+                "window_start": pk_win * 1_000_000,
+                "bucket": np.full(len(pcw), bucket[0], dtype=np.int32),
+                "day": (pk_win // 86400).astype(np.int32),
+                "n": pcols["n"],
+                "first_ts": pcols["first_ts"],
+                "first_val": pcols["first_val"],
+                "ts_d2": np.array(pcols["ts_d2"], dtype=object),
+                "vals_gorilla": np.array(pcols["vals_gorilla"], dtype=object),
+            }
+            writer.add("pack", pack_data, len(pcw))
+
+
+def fused_write_chunked(
+    obs: DataFrame,
+    table_path: str,
+    tiers: tuple[str, ...] = ("1h", "1d"),
+    partitions: int | None = None,
+    with_pack: bool = True,
+) -> DataFrame:
+    """Observed slots of GIANT conversations -> the same partitioned tier
+    table ``fused.fused_write`` produces, but with (conv, chunk) as the
+    unit of work: a conversation spanning years becomes ~span/8d
+    independent tasks of bounded state instead of one straggler pinning a
+    core (the reference's chunk+overlap pattern, R/api_chunks.R:44-148,
+    lifted across tasks). Byte-identical to the whole-conv path: slot rows
+    via the halo/anchor kernel (tests/test_chunked.py), aggregates/packs
+    per chunk — exact because chunk cuts are epoch-day aligned. Returns
+    the same lazy stats DataFrame contract as fused_write."""
+    from .fused import PartitionedWriter, STATS_SCHEMA
+
+    spark = obs.sparkSession
+    n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    stream = _chunked_stream(obs, n)
+
+    def write_fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        writer = PartitionedWriter(table_path, pid, label="g")
+        for tbl in arrow_conv_batches(it, key="gkey"):
+            key = tbl["gkey"]
+            _, starts = np.unique(key, return_index=True)
+            starts = np.sort(starts)
+            bounds = np.append(starts, len(key))
+            for gi in range(len(starts)):
+                lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+                if tbl["marker"][lo] != 0:
+                    continue  # halo-only group without anchor
+                conv_lo = tbl["conv_lo"][lo]
+                if conv_lo is None or (
+                    isinstance(conv_lo, float) and np.isnan(conv_lo)
+                ):
+                    continue
+                _emit_group_tiers(writer, tbl, lo, hi, tiers, with_pack)
+        yield writer.stats_batch()
+
+    return stream.mapInArrow(write_fn, STATS_SCHEMA)
+
+
 def tier_1m_chunked(transcripts: DataFrame, partitions: int | None = None) -> DataFrame:
     """raw turns -> dense smoothed 1m tier with per-(conv, chunk) units of
     work — byte-identical to regularize.tier_1m, but no single task ever

@@ -204,54 +204,89 @@ def fused_tiers(
 
 _PART_SCHEMA = pa.schema([("bucket", pa.int32()), ("day", pa.date32())])
 
+# flush threshold per row_kind: bounds task memory to ~flush-size per kind
+# regardless of how much data the task's key range holds (a skewed range
+# at 100x otherwise buffers its whole multi-GB output before writing)
+FLUSH_ROWS = 1 << 18
 
-def _write_iter(table_path: str, tiers: tuple[str, ...], with_pack: bool):
-    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+
+class PartitionedWriter:
+    """Incremental Arrow-native (bucket, day)-partitioned writer.
+
+    Accumulates kernel output per row_kind and flushes to
+    ``pads.write_dataset`` every FLUSH_ROWS rows — each flush gets a
+    deterministic basename (task partition id + flush index + ``label``),
+    so a sequential task retry overwrites the same files with the same
+    content (the input split and kernel stream are deterministic).
+    ``label`` disambiguates independent write jobs targeting the same
+    table (e.g. the normal and giant-conv passes)."""
+
+    def __init__(self, table_path: str, pid: int, label: str = "n"):
         import pyarrow.dataset as pads
-        from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        # kind -> per-batch record batches; one C++ partitioned write each
-        acc: dict[str, list[pa.RecordBatch]] = {}
-        counts: dict[str, np.ndarray] = {}
-        for kind, data, n in _tier_stream(it, tiers, with_pack):
-            if not n:
-                continue
-            schema = _KIND_PA[kind]
-            full = pa.schema(
-                list(schema) + [pa.field("bucket", pa.int32()), pa.field("day", pa.date32())]
-            )
-            acc.setdefault(kind, []).append(record_batch(data, full, n))
-            c = counts.get(kind)
-            bc = np.bincount(data["bucket"], minlength=len(c) if c is not None else 0)
-            counts[kind] = bc if c is None else (
-                bc + np.pad(c, (0, len(bc) - len(c))) if len(bc) >= len(c)
-                else c + np.pad(bc, (0, len(c) - len(bc)))
-            )
-        opts = pads.ParquetFileFormat().make_write_options(compression="zstd")
-        for kind, rbs in acc.items():
-            # Arrow C++ groups rows by (bucket, day) and writes the hive
-            # layout directly — order inside each file is preserved
-            pads.write_dataset(
-                pa.Table.from_batches(rbs),
-                os.path.join(table_path, f"row_kind={kind}"),
-                format="parquet",
-                partitioning=pads.partitioning(_PART_SCHEMA, flavor="hive"),
-                basename_template=f"part-{pid:05d}-{{i}}.parquet",
-                file_options=opts,
-                existing_data_behavior="overwrite_or_ignore",
-                max_partitions=1 << 20,
-                max_open_files=4096,
-            )
+        self._pads = pads
+        self.table_path = table_path
+        self.pid = pid
+        self.label = label
+        self._acc: dict[str, list[pa.RecordBatch]] = {}
+        self._acc_rows: dict[str, int] = {}
+        self._flush_idx: dict[str, int] = {}
+        self._counts: dict[str, np.ndarray] = {}
+        self._opts = pads.ParquetFileFormat().make_write_options(compression="zstd")
+
+    def add(self, kind: str, data: dict[str, np.ndarray], n: int) -> None:
+        if not n:
+            return
+        schema = _KIND_PA[kind]
+        full = pa.schema(
+            list(schema)
+            + [pa.field("bucket", pa.int32()), pa.field("day", pa.date32())]
+        )
+        self._acc.setdefault(kind, []).append(record_batch(data, full, n))
+        self._acc_rows[kind] = self._acc_rows.get(kind, 0) + n
+        c = self._counts.get(kind)
+        bc = np.bincount(data["bucket"], minlength=len(c) if c is not None else 0)
+        self._counts[kind] = bc if c is None else (
+            bc + np.pad(c, (0, len(bc) - len(c))) if len(bc) >= len(c)
+            else c + np.pad(bc, (0, len(c) - len(bc)))
+        )
+        if self._acc_rows[kind] >= FLUSH_ROWS:
+            self._flush(kind)
+
+    def _flush(self, kind: str) -> None:
+        rbs = self._acc.pop(kind, None)
+        if not rbs:
+            return
+        self._acc_rows[kind] = 0
+        fi = self._flush_idx.get(kind, 0)
+        self._flush_idx[kind] = fi + 1
+        # Arrow C++ groups rows by (bucket, day) and writes the hive
+        # layout directly — order inside each file is preserved
+        self._pads.write_dataset(
+            pa.Table.from_batches(rbs),
+            os.path.join(self.table_path, f"row_kind={kind}"),
+            format="parquet",
+            partitioning=self._pads.partitioning(_PART_SCHEMA, flavor="hive"),
+            basename_template=f"part-{self.label}{self.pid:05d}-{fi:04d}-{{i}}.parquet",
+            file_options=self._opts,
+            existing_data_behavior="overwrite_or_ignore",
+            max_partitions=1 << 20,
+            max_open_files=4096,
+        )
+
+    def stats_batch(self) -> pa.RecordBatch:
+        """Flush everything and return the per-(tier, bucket) row counts."""
+        for kind in list(self._acc):
+            self._flush(kind)
         tiers_out: list[str] = []
         buckets_out: list[int] = []
         rows_out: list[int] = []
-        for kind, bc in counts.items():
+        for kind, bc in self._counts.items():
             for b in np.flatnonzero(bc):
                 tiers_out.append(TIER_OF_KIND[kind])
                 buckets_out.append(int(b))
                 rows_out.append(int(bc[b]))
-        yield record_batch(
+        return record_batch(
             {
                 "tier": np.array(tiers_out, dtype=object),
                 "bucket": np.array(buckets_out, dtype=np.int32),
@@ -260,6 +295,17 @@ def _write_iter(table_path: str, tiers: tuple[str, ...], with_pack: bool):
             _STATS_PA,
             len(tiers_out),
         )
+
+
+def _write_iter(table_path: str, tiers: tuple[str, ...], with_pack: bool):
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        writer = PartitionedWriter(table_path, pid)
+        for kind, data, n in _tier_stream(it, tiers, with_pack):
+            writer.add(kind, data, n)
+        yield writer.stats_batch()
 
     return fn
 

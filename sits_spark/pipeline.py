@@ -48,8 +48,9 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import engine_core
 from . import manifest as mf
-from .operators import fused, regularize
+from .operators import chunk_split, fused, regularize
 
 TIER_DIRS = {
     "tier_1m": "row_kind=slot",
@@ -71,13 +72,21 @@ class RollupPipeline:
         warehouse: str,
         n_buckets: int = mf.N_BUCKETS,
         range_partitions: int | None = None,
+        giant_span_chunks: int | None = 2,
     ):
+        """``giant_span_chunks``: conversations spanning more than this
+        many 8-day chunks are routed through the cross-task chunked
+        writer (per-(conv, chunk) units of work) instead of the whole-conv
+        fused path — one pathological years-long conversation otherwise
+        pins a core and holds its full grid in one task. ``None`` disables
+        the split (and its cheap pruned-column pre-scan)."""
         self.spark = spark
         self.warehouse = warehouse
         self.n_buckets = n_buckets
         self.range_partitions = range_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
+        self.giant_span_chunks = giant_span_chunks
         self.table_path = os.path.join(warehouse, "tiers")
         self.store = mf.ManifestStore(spark, warehouse)
 
@@ -135,18 +144,44 @@ class RollupPipeline:
         size = -(-len(missing) // n_groups)
         groups = [missing[i : i + size] for i in range(0, len(missing), size)]
 
+        giants = self._giant_convs(raw, fp)
+
         for group in groups:
             df = raw
             if len(group) != self.n_buckets:
                 df = df.where(mf.bucket_expr().isin(group))
-            observed = regularize.observed_slots(df)
-            stats = fused.fused_write(
-                observed,
-                self.table_path,
-                tiers,
-                self.range_partitions,
-                with_pack=with_pack,
-            )
+            if giants is None:
+                observed = regularize.observed_slots(df)
+                stats = fused.fused_write(
+                    observed,
+                    self.table_path,
+                    tiers,
+                    self.range_partitions,
+                    with_pack=with_pack,
+                )
+            else:
+                # giant convs -> per-(conv, chunk) units of work; the
+                # common case stays on the cheap whole-conv path. The
+                # broadcast sides are the tiny giant-id table, so neither
+                # branch adds a shuffle; one action runs both writes.
+                g = F.broadcast(giants)
+                normal = df.join(g, "conv_id", "left_anti")
+                giant = df.join(g, "conv_id", "left_semi")
+                stats = fused.fused_write(
+                    regularize.observed_slots(normal),
+                    self.table_path,
+                    tiers,
+                    self.range_partitions,
+                    with_pack=with_pack,
+                ).unionByName(
+                    chunk_split.fused_write_chunked(
+                        regularize.observed_slots(giant),
+                        self.table_path,
+                        tiers,
+                        self.range_partitions,
+                        with_pack=with_pack,
+                    )
+                )
             # tombstone BEFORE dropping: a kill between the drop and the
             # re-commit must leave these buckets visibly missing, not
             # claiming deleted files (manifest rows supersede by seq)
@@ -167,6 +202,38 @@ class RollupPipeline:
                 ]
             )
         return out
+
+    def _giant_convs(self, raw: DataFrame, fp: str) -> DataFrame | None:
+        """Conversations spanning more than ``giant_span_chunks`` chunks,
+        as a tiny materialized table (cached per input fingerprint).
+
+        The detection scan reads ONLY (conv_id, ts) — column pruning makes
+        it a fraction of the full-width scan — and the result is written
+        once under the warehouse so resumed runs and later checkpoint
+        groups reuse it. Returns None when there are no giants (or the
+        split is disabled): the run then takes the unmodified fast path.
+
+        Scale note: at 10^12 turns the giant-id table is assumed
+        broadcast-sized (pathological convs are rare by construction); if
+        it ever weren't, the split threshold is the knob."""
+        if self.giant_span_chunks is None:
+            return None
+        span_sec = self.giant_span_chunks * engine_core.CHUNK_SLOTS * 60
+        path = os.path.join(self.warehouse, f"_giants-{fp}")
+        if not os.path.isdir(path):
+            ts_s = F.col("ts").cast("timestamp").cast("long")
+            (
+                raw.select("conv_id", ts_s.alias("s"))
+                .groupBy("conv_id")
+                .agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+                .where(F.col("hi") - F.col("lo") > span_sec)
+                .select("conv_id")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+        giants = self.spark.read.parquet(path)
+        return giants if giants.limit(1).count() else None
 
     # -- readers ---------------------------------------------------------
 

@@ -174,3 +174,34 @@ def test_observed_slots_plan_is_partial_agg(spark, input_path):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "turn_idx" not in plan.split("ReadSchema")[-1]  # column pruned
+
+
+def test_giant_conv_chunked_write_byte_identical(spark, input_path, golden, tmp_path_factory):
+    """Production chunked path (VERDICT r2 #2): with the giant threshold
+    forced to 0 chunks, EVERY multi-slot conversation routes through
+    fused_write_chunked's per-(conv, chunk) units of work — the result
+    must still byte-match the single-node oracle at all three tiers."""
+    wh = str(tmp_path_factory.mktemp("whg") / "tiers")
+    pipe = RollupPipeline(spark, wh, giant_span_chunks=0)
+    pipe.run(input_path, run_id="run-g")
+
+    got = _spark_tier(spark, wh, "tier_1m").toPandas()
+    assert_frames_bitexact(got, golden["tier_1m"], ["conv_id", "slot_start"])
+    for tier in ("1h", "1d"):
+        want = golden[f"agg_{tier}"]
+        got = (
+            _spark_tier(spark, wh, "agg")
+            .where(F.col("tier") == tier)
+            .drop("tier")
+            .select(want.columns.tolist())
+            .toPandas()
+        )
+        assert_frames_bitexact(got, want, ["conv_id", "window_start"])
+    gotp = _spark_tier(spark, wh, "packed_1h").toPandas()
+    assert_frames_bitexact(
+        gotp.sort_values(["conv_id", "window_start"]).reset_index(drop=True),
+        golden["packed_1h"].sort_values(["conv_id", "window_start"]).reset_index(drop=True),
+        ["conv_id", "window_start"],
+    )
+    # the giant-id table was materialized once for reuse
+    assert any(d.startswith("_giants-") for d in os.listdir(wh))
