@@ -947,37 +947,85 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= 5
 """
 
-_N_PLANES = 8
+# Banded sign-LSH (random-hyperplane scheme, multiple hash tables):
+# _ANN_BANDS OR'd bands of _ANN_BITS sign bits each. Candidates collide in
+# >= 1 band; in-band bucket count = 2^bits, so expected in-bucket pair
+# density ~ bands * n^2 / 2^bits. 100 TB rule: _ANN_BITS scales as
+# log2(n / target_bucket_size) — the knob that keeps buckets O(1) as the
+# corpus grows; bands buys back recall linearly in cost.
+_ANN_BANDS = 4
+_ANN_BITS = 8
+_N_PLANES = _ANN_BANDS * _ANN_BITS
 
 
 def _plane(j: int) -> list[float]:
-    # deterministic pseudo-random hyperplane: +-1 pattern shared with SQL
-    return [1.0 if ((i * 7 + j * 13 + i * j) % 5) < 2 else -1.0 for i in range(64)]
+    """Deterministic pseudo-random +-1 hyperplane, shared with SQL as
+    literals. LCG-seeded so every j gives a genuinely distinct plane —
+    a closed-form pattern like ((i*7 + j*13 + i*j) % 5) is periodic in j
+    (plane(j) == plane(j+5)) and silently collapses the bit space."""
+    x = (j * 2654435761 + 12345) % (1 << 32)
+    out = []
+    for _ in range(64):
+        x = (x * 1664525 + 1013904223) % (1 << 32)
+        out.append(1.0 if x < (1 << 31) else -1.0)
+    return out
+
+
+def _band_key(band: int):
+    """Spark expression: the 2^bits bucket key of one band."""
+    key = F.lit(0)
+    for k in range(_ANN_BITS):
+        plane = F.array(*[F.lit(v) for v in _plane(band * _ANN_BITS + k)])
+        key = key + (_dot(F.col("embedding"), plane) > 0).cast("int") * F.lit(2**k)
+    return key
+
+
+def _sql_band_key(band: int) -> str:
+    terms = []
+    for k in range(_ANN_BITS):
+        arr = ", ".join(str(v) for v in _plane(band * _ANN_BITS + k))
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{arr}]) > 0 THEN 1 ELSE 0 END) * {2**k}"
+        )
+    return " + ".join(terms)
 
 
 def emb_lsh_buckets(spark, sf_dir):
-    """Sign-LSH bucketing (random-hyperplane scheme) — the scale path for
-    ANN: 8 fixed hyperplanes -> 8 sign bits -> bucket id."""
+    """Sign-LSH bucketing (random-hyperplane scheme): band 0's 8 sign
+    bits -> bucket id. The single-table primitive; the ANN/near-dup
+    queries below OR several such tables (banding) for recall."""
     e = _t(spark, sf_dir, "embeddings")
-    bucket = F.lit(0)
-    for j in range(_N_PLANES):
-        plane = F.array(*[F.lit(v) for v in _plane(j)])
-        bit = (_dot(F.col("embedding"), plane) > 0).cast("int")
-        bucket = bucket + bit * F.lit(2**j)
-    return e.select("vec_id", "label", bucket.alias("bucket"))
+    return e.select("vec_id", "label", _band_key(0).alias("bucket"))
 
 
 def _sql_lsh() -> str:
-    terms = []
-    for j in range(_N_PLANES):
-        arr = ", ".join(str(v) for v in _plane(j))
-        terms.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{arr}]) > 0 THEN 1 ELSE 0 END) * {2**j}"
-        )
-    return f"SELECT vec_id, label, {' + '.join(terms)} AS bucket FROM embeddings"
+    return f"SELECT vec_id, label, {_sql_band_key(0)} AS bucket FROM embeddings"
 
 
 SQL_EMB_LSH_BUCKETS = _sql_lsh()
+
+
+def emb_lsh_bands(spark, sf_dir):
+    """(vec_id, band_id, key) long form: each vector appears once per
+    band — the multiple-hash-table layout every banded join keys on."""
+    e = _t(spark, sf_dir, "embeddings")
+    entries = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), _band_key(b).alias("key"))
+            for b in range(_ANN_BANDS)
+        ]
+    )
+    return e.select(
+        "vec_id", "embedding", F.explode(entries).alias("bk")
+    ).select("vec_id", "embedding", F.col("bk.band_id"), F.col("bk.key"))
+
+
+def _sql_bands() -> str:
+    parts = [
+        f"SELECT vec_id, embedding, {b} AS band_id, {_sql_band_key(b)} AS key FROM embeddings"
+        for b in range(_ANN_BANDS)
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def emb_label_knn_purity(spark, sf_dir):
@@ -1052,31 +1100,38 @@ REGISTRY: dict[str, tuple] = {
 
 
 def emb_ann_lsh_topk(spark, sf_dir):
-    """Bucketed ANN join — the 100 TB path for kNN: sign-LSH buckets
-    (emb_lsh_buckets) partition the corpus; each query searches only ITS
-    bucket (equi-join on bucket, no cartesian), cosine re-ranked within.
-    Recall < exact kNN by design; the exact crossJoin baseline
-    (emb_knn_cosine) stays as the quality yardstick."""
-    b = emb_lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
-    e = _t(spark, sf_dir, "embeddings")
-    eb = e.join(b, "vec_id")
-    q = eb.where(F.col("vec_id") < 10).select(
+    """Banded ANN join — the 100 TB path for kNN: _ANN_BANDS OR'd sign-LSH
+    hash tables (emb_lsh_bands); a query meets only candidates sharing a
+    (band_id, key) — an equi-join, no cartesian — candidate pairs are
+    deduped across bands BEFORE scoring, then cosine re-ranked. In-bucket
+    pair count ~ bands * n^2 / 2^bits per join key; bits scales with
+    log(n) at deployment (see _ANN_BITS note). Recall < exact kNN by
+    design; emb_knn_cosine stays as the quality yardstick, floor asserted
+    in tests/test_oracle.py."""
+    bands = emb_lsh_bands(spark, sf_dir)
+    q = bands.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        "bucket",
+        "band_id",
+        "key",
     )
-    c = eb.select(
+    c = bands.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
-        "bucket",
+        "band_id",
+        "key",
     )
-    j = c.join(F.broadcast(q), "bucket").where(
-        F.col("neighbor_id") != F.col("query_id")
+    # OR across bands: distinct candidate pairs, scored once
+    cand = (
+        c.join(F.broadcast(q), ["band_id", "key"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qv").alias("qv"), F.first("cv").alias("cv"))
     )
     sim = _dot(F.col("qv"), F.col("cv")) / (
         F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
     )
-    scored = j.select("query_id", "neighbor_id", _r6(sim).alias("cosine"))
+    scored = cand.select("query_id", "neighbor_id", _r6(sim).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1086,16 +1141,21 @@ def emb_ann_lsh_topk(spark, sf_dir):
 
 
 SQL_EMB_ANN_LSH_TOPK = f"""
-WITH bk AS ({_sql_lsh()}),
-q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, bk.bucket
-      FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id WHERE e.vec_id < 10),
-c AS (SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS cv, bk.bucket
-      FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+WITH bands AS ({_sql_bands()}),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, band_id, key
+      FROM bands WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, band_id, key
+      FROM bands),
+cand AS (
+  SELECT query_id, neighbor_id, any_value(qv) AS qv, any_value(cv) AS cv
+  FROM c JOIN q USING (band_id, key) WHERE neighbor_id <> query_id
+  GROUP BY 1, 2
+),
 s AS (
   SELECT query_id, neighbor_id,
          CAST(round(list_dot_product(qv, cv) /
               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS DOUBLE) AS cosine
-  FROM c JOIN q ON c.bucket = q.bucket WHERE neighbor_id <> query_id
+  FROM cand
 )
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s
@@ -1524,33 +1584,49 @@ SQL_DOC_SIMHASH = _sql_simhash()
 
 
 def emb_cosine_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup: candidate pairs from sign-LSH buckets
-    (equi-join, no all-pairs), kept when cosine >= 0.9 — the scale path
-    for semantic dedup over an embedding column."""
-    b = emb_lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
-    e = _t(spark, sf_dir, "embeddings").join(b, "vec_id")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
-    c = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
-    j = a.join(c, "bucket").where(F.col("id_a") < F.col("id_b"))
+    """Embedding-cosine near-dup: candidate pairs colliding in >= 1 of
+    the _ANN_BANDS sign-LSH bands (equi-join on (band_id, key), deduped
+    across bands, no all-pairs), kept when cosine >= 0.4 — the scale path
+    for semantic dedup. High-cosine pairs are exactly where per-band
+    collision probability (cos-angle)^bits is high, so banding loses
+    almost nothing here while bounding candidates."""
+    bands = emb_lsh_bands(spark, sf_dir)
+    a = bands.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "band_id", "key"
+    )
+    c = bands.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "band_id", "key"
+    )
+    cand = (
+        a.join(c, ["band_id", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
+    )
     sim = _dot(F.col("va"), F.col("vb")) / (
         F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
     )
     return (
-        j.select("id_a", "id_b", _r6(sim).alias("cosine"))
-        .where(F.col("cosine") >= 0.9)
+        cand.select("id_a", "id_b", _r6(sim).alias("cosine"))
+        .where(F.col("cosine") >= 0.4)
     )
 
 
 SQL_EMB_COSINE_NEARDUP = f"""
-WITH bk AS ({_sql_lsh()}),
-e AS (SELECT emb.vec_id, emb.embedding::DOUBLE[] AS v, bk.bucket
-      FROM embeddings emb JOIN bk ON emb.vec_id = bk.vec_id)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       CAST(round(list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS DOUBLE) AS cosine
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) /
-      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+WITH bands AS ({_sql_bands()}),
+a AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS va, band_id, key FROM bands),
+b AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb, band_id, key FROM bands),
+cand AS (
+  SELECT id_a, id_b, any_value(va) AS va, any_value(vb) AS vb
+  FROM a JOIN b USING (band_id, key) WHERE id_a < id_b
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(round(list_dot_product(va, vb) /
+            (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) AS DOUBLE) AS cosine
+FROM cand
+WHERE round(list_dot_product(va, vb) /
+      (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) >= 0.4
 """
 
 
