@@ -150,7 +150,7 @@ class RollupPipeline:
             df = raw
             if len(group) != self.n_buckets:
                 df = df.where(mf.bucket_expr().isin(group))
-            if giants is None:
+            if not giants:
                 observed = regularize.observed_slots(df)
                 stats = fused.fused_write(
                     observed,
@@ -161,12 +161,15 @@ class RollupPipeline:
                 )
             else:
                 # giant convs -> per-(conv, chunk) units of work; the
-                # common case stays on the cheap whole-conv path. The
-                # broadcast sides are the tiny giant-id table, so neither
-                # branch adds a shuffle; one action runs both writes.
-                g = F.broadcast(giants)
-                normal = df.join(g, "conv_id", "left_anti")
-                giant = df.join(g, "conv_id", "left_semi")
+                # common case stays on the cheap whole-conv path. The id
+                # list is driver-bounded, so both sides are literal
+                # conv_id predicates: the giant pass's isin pushes down
+                # to the scan (row-group pruning + early filter) instead
+                # of re-reading the whole table, and neither branch adds
+                # a shuffle; one action runs both writes.
+                gcol = F.col("conv_id")
+                normal = df.where(~gcol.isin(giants))
+                giant = df.where(gcol.isin(giants))
                 stats = fused.fused_write(
                     regularize.observed_slots(normal),
                     self.table_path,
@@ -203,21 +206,25 @@ class RollupPipeline:
             )
         return out
 
-    def _giant_convs(self, raw: DataFrame, fp: str) -> DataFrame | None:
-        """Conversations spanning more than ``giant_span_chunks`` chunks,
-        as a tiny materialized table (cached per input fingerprint).
+    # driver-side bound on the giant-id list; beyond it only the
+    # worst (longest-span) conversations are split — the rest stay on
+    # the whole-conv path, which is always correct, just less parallel
+    MAX_GIANTS = 100_000
+
+    def _giant_convs(self, raw: DataFrame, fp: str) -> list[str]:
+        """conv_ids spanning more than ``giant_span_chunks`` chunks, as a
+        driver-bounded list (cached per input fingerprint).
 
         The detection scan reads ONLY (conv_id, ts) — column pruning makes
         it a fraction of the full-width scan — and the result is written
         once under the warehouse so resumed runs and later checkpoint
-        groups reuse it. Returns None when there are no giants (or the
-        split is disabled): the run then takes the unmodified fast path.
-
-        Scale note: at 10^12 turns the giant-id table is assumed
-        broadcast-sized (pathological convs are rare by construction); if
-        it ever weren't, the split threshold is the knob."""
+        groups reuse it without a Spark job (pyarrow read). Returns []
+        when there are no giants (or the split is disabled): the run then
+        takes the unmodified fast path."""
         if self.giant_span_chunks is None:
-            return None
+            return []
+        import pyarrow.parquet as pq
+
         span_sec = self.giant_span_chunks * engine_core.CHUNK_SLOTS * 60
         path = os.path.join(self.warehouse, f"_giants-{fp}")
         if not os.path.isdir(path):
@@ -227,13 +234,18 @@ class RollupPipeline:
                 .groupBy("conv_id")
                 .agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
                 .where(F.col("hi") - F.col("lo") > span_sec)
+                .orderBy((F.col("hi") - F.col("lo")).desc(), "conv_id")
+                .limit(self.MAX_GIANTS)
                 .select("conv_id")
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(path)
             )
-        giants = self.spark.read.parquet(path)
-        return giants if giants.limit(1).count() else None
+        ids: list[str] = []
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                ids += pq.read_table(os.path.join(path, f))["conv_id"].to_pylist()
+        return sorted(ids)
 
     # -- readers ---------------------------------------------------------
 
