@@ -1764,6 +1764,116 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# F1. mixture model / NNLS unmixing (round-3)
+# ---------------------------------------------------------------------------
+
+_EM_A = [(1.0 if i % 3 == 0 else 0.25) for i in range(64)]
+_EM_B = [(1.0 if i % 3 != 0 else 0.25) for i in range(64)]
+
+
+def emb_mixture_nnls(spark, sf_dir):
+    """Mixture model / NNLS unmixing (reference sits_mixture_model,
+    R/api_mixture_model.R + /root/reference/src/nnls_solver.cpp): each
+    vector decomposed into non-negative fractions of a fixed endmember
+    set, plus the residual RMSE band.
+
+    The reference iterates a gradient-projection solver for arbitrary k;
+    with k = 2 endmembers the KKT active-set solution is CLOSED FORM
+    (solve the 2x2 normal equations; if a coordinate goes negative, clamp
+    it to 0 and re-solve the remaining 1-D problem) — so the whole
+    operator stays in Catalyst expressions (no UDF) and the DuckDB oracle
+    replays the identical algebra. Gram-matrix scalars are Python-time
+    constants shared as literals by both engines. For k > 2 the batched
+    numpy kernel path (mapInArrow, like the smoothers) is the documented
+    extension point."""
+    e = _t(spark, sf_dir, "embeddings")
+    a11 = sum(x * x for x in _EM_A)
+    a12 = sum(x * y for x, y in zip(_EM_A, _EM_B))
+    a22 = sum(y * y for y in _EM_B)
+    det = a11 * a22 - a12 * a12
+    ea = F.array(*[F.lit(v) for v in _EM_A])
+    eb = F.array(*[F.lit(v) for v in _EM_B])
+    v = F.col("embedding")
+    b1 = _dot(v, ea)
+    b2 = _dot(v, eb)
+    # unconstrained normal-equation solution
+    x1u = (F.lit(a22) * b1 - F.lit(a12) * b2) / F.lit(det)
+    x2u = (F.lit(a11) * b2 - F.lit(a12) * b1) / F.lit(det)
+    # KKT clamping for k=2: at most one coordinate can be active at 0
+    x1 = (
+        F.when((x1u >= 0) & (x2u >= 0), x1u)
+        .when(x1u < 0, F.lit(0.0))
+        .otherwise(F.greatest(b1 / F.lit(a11), F.lit(0.0)))
+    )
+    x2 = (
+        F.when((x1u >= 0) & (x2u >= 0), x2u)
+        .when(x2u < 0, F.lit(0.0))
+        .otherwise(F.greatest(b2 / F.lit(a22), F.lit(0.0)))
+    )
+    # residual^2 = |v|^2 - 2(x.b) + x.A x, expanded in the same order on
+    # both engines; rounded before the sqrt so the hash is stable
+    vv = _dot(v, v)
+    r2 = (
+        vv
+        - 2.0 * (x1 * b1 + x2 * b2)
+        + (x1 * x1 * F.lit(a11) + 2.0 * x1 * x2 * F.lit(a12) + x2 * x2 * F.lit(a22))
+    )
+    rmse = F.sqrt(F.greatest(_r6(r2), F.lit(0.0)) / F.lit(64.0))
+    return e.select(
+        "vec_id",
+        _r6(x1).alias("frac_a"),
+        _r6(x2).alias("frac_b"),
+        _r6(rmse).alias("rmse"),
+    )
+
+
+def _sql_mixture() -> str:
+    a11 = sum(x * x for x in _EM_A)
+    a12 = sum(x * y for x, y in zip(_EM_A, _EM_B))
+    a22 = sum(y * y for y in _EM_B)
+    det = a11 * a22 - a12 * a12
+    arr_a = ", ".join(str(v) for v in _EM_A)
+    arr_b = ", ".join(str(v) for v in _EM_B)
+    return f"""
+WITH d AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], [{arr_a}]) AS b1,
+         list_dot_product(embedding::DOUBLE[], [{arr_b}]) AS b2,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+  FROM embeddings
+),
+u AS (
+  SELECT vec_id, b1, b2, vv,
+         ({a22!r} * b1 - {a12!r} * b2) / {det!r} AS x1u,
+         ({a11!r} * b2 - {a12!r} * b1) / {det!r} AS x2u
+  FROM d
+),
+s AS (
+  SELECT vec_id, b1, b2, vv,
+         CASE WHEN x1u >= 0 AND x2u >= 0 THEN x1u
+              WHEN x1u < 0 THEN 0.0
+              ELSE greatest(b1 / {a11!r}, 0.0) END AS x1,
+         CASE WHEN x1u >= 0 AND x2u >= 0 THEN x2u
+              WHEN x2u < 0 THEN 0.0
+              ELSE greatest(b2 / {a22!r}, 0.0) END AS x2
+  FROM u
+)
+SELECT vec_id,
+       CAST(round(x1, 6) AS DOUBLE) AS frac_a,
+       CAST(round(x2, 6) AS DOUBLE) AS frac_b,
+       CAST(round(sqrt(greatest(CAST(round(
+            vv - 2.0 * (x1 * b1 + x2 * b2)
+               + (x1 * x1 * {a11!r} + 2.0 * x1 * x2 * {a12!r} + x2 * x2 * {a22!r}), 6) AS DOUBLE), 0.0) / 64.0), 6) AS DOUBLE) AS rmse
+FROM s
+"""
+
+
+SQL_EMB_MIXTURE_NNLS = _sql_mixture()
+
+REGISTRY.update({"emb_mixture_nnls": (emb_mixture_nnls, SQL_EMB_MIXTURE_NNLS)})
+
+
+# ---------------------------------------------------------------------------
 # F2. DTW pattern-based change detection (round-3)
 # ---------------------------------------------------------------------------
 
