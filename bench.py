@@ -58,6 +58,9 @@ HEADLINE_QUERIES = [
     "doc_text_quality",
     "emb_knn_cosine",
     "emb_ann_lsh_topk",
+    "ts_dtw_change",
+    "emb_mixture_nnls",
+    "doc_minhash_lsh",
 ]
 
 

@@ -187,8 +187,11 @@ class RollupPipeline:
                 )
             # tombstone BEFORE dropping: a kill between the drop and the
             # re-commit must leave these buckets visibly missing, not
-            # claiming deleted files (manifest rows supersede by seq)
-            self.store.invalidate(tier_names, group, fp, run_id)
+            # claiming deleted files (manifest rows supersede by seq).
+            # ALL row_kinds — _drop_bucket_dirs removes every tier's
+            # directories, including ones this run won't rewrite (e.g. a
+            # with_pack=False rerun over a previously packed table)
+            self.store.invalidate(list(TIER_DIRS), group, fp, run_id)
             self._drop_bucket_dirs(group)
             # collecting the stats IS the write action; counts feed lineage
             counts = {
