@@ -204,10 +204,13 @@ def fused_tiers(
 
 _PART_SCHEMA = pa.schema([("bucket", pa.int32()), ("day", pa.date32())])
 
-# flush threshold per row_kind: bounds task memory to ~flush-size per kind
+# flush thresholds per row_kind: bound task memory to ~flush-size per kind
 # regardless of how much data the task's key range holds (a skewed range
-# at 100x otherwise buffers its whole multi-GB output before writing)
+# at 100x otherwise buffers its whole multi-GB output before writing).
+# Both limits apply — rows for the narrow tiers, bytes for blob-carrying
+# pack rows whose size per row is unbounded.
 FLUSH_ROWS = 1 << 18
+FLUSH_BYTES = 64 << 20
 
 
 class PartitionedWriter:
@@ -230,6 +233,7 @@ class PartitionedWriter:
         self.label = label
         self._acc: dict[str, list[pa.RecordBatch]] = {}
         self._acc_rows: dict[str, int] = {}
+        self._acc_bytes: dict[str, int] = {}
         self._flush_idx: dict[str, int] = {}
         self._counts: dict[str, np.ndarray] = {}
         self._opts = pads.ParquetFileFormat().make_write_options(compression="zstd")
@@ -242,15 +246,20 @@ class PartitionedWriter:
             list(schema)
             + [pa.field("bucket", pa.int32()), pa.field("day", pa.date32())]
         )
-        self._acc.setdefault(kind, []).append(record_batch(data, full, n))
+        rb = record_batch(data, full, n)
+        self._acc.setdefault(kind, []).append(rb)
         self._acc_rows[kind] = self._acc_rows.get(kind, 0) + n
+        self._acc_bytes[kind] = self._acc_bytes.get(kind, 0) + rb.nbytes
         c = self._counts.get(kind)
         bc = np.bincount(data["bucket"], minlength=len(c) if c is not None else 0)
         self._counts[kind] = bc if c is None else (
             bc + np.pad(c, (0, len(bc) - len(c))) if len(bc) >= len(c)
             else c + np.pad(bc, (0, len(c) - len(bc)))
         )
-        if self._acc_rows[kind] >= FLUSH_ROWS:
+        if (
+            self._acc_rows[kind] >= FLUSH_ROWS
+            or self._acc_bytes[kind] >= FLUSH_BYTES
+        ):
             self._flush(kind)
 
     def _flush(self, kind: str) -> None:
@@ -258,6 +267,7 @@ class PartitionedWriter:
         if not rbs:
             return
         self._acc_rows[kind] = 0
+        self._acc_bytes[kind] = 0
         fi = self._flush_idx.get(kind, 0)
         self._flush_idx[kind] = fi + 1
         # Arrow C++ groups rows by (bucket, day) and writes the hive
