@@ -57,3 +57,60 @@ def test_feature_extraction_fail_stub_raises(media):
 def test_invalid_stub_rejected(media):
     with pytest.raises(ValueError):
         multimodal.extract_features(media, decode_stub="nope")
+
+
+def _ppm_bytes(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    return b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + img.tobytes(), img
+
+
+def _wav_bytes(n, rate=8000, channels=2, seed=0):
+    import struct
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32767, (n, channels), dtype=np.int16)
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body, samples
+
+
+def test_real_ppm_decode_roundtrip():
+    payload, img = _ppm_bytes(13, 7, seed=3)
+    got = multimodal.decode_ppm(payload)
+    assert got.shape == (13, 7, 3)
+    np.testing.assert_array_equal(got, img)
+    small = multimodal.resize_nearest(got, 4, 4)
+    assert small.shape == (4, 4, 3)
+    # corner pixels map to themselves under nearest-neighbor
+    np.testing.assert_array_equal(small[0, 0], img[0, 0])
+
+
+def test_real_wav_decode_roundtrip():
+    payload, samples = _wav_bytes(500, rate=16000, channels=2, seed=4)
+    got, rate = multimodal.decode_wav(payload)
+    assert rate == 16000
+    np.testing.assert_array_equal(got, samples)
+
+
+def test_real_decoder_through_spark(spark):
+    ppm, img = _ppm_bytes(9, 5, seed=1)
+    wav, samples = _wav_bytes(300, rate=8000, channels=1, seed=2)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(ppm)), (2, "audio", bytearray(wav))],
+        "media_id long, kind string, payload binary",
+    ).withColumn("n_bytes", F.octet_length("payload").cast("long"))
+    feats = multimodal.extract_features(df, decode_stub="real")
+    got = {r.media_id: np.array(r.feat) for r in feats.collect()}
+    np.testing.assert_allclose(
+        got[1][:3], [9, 5, 3]
+    )  # h, w, channels from the REAL decode
+    np.testing.assert_allclose(got[1][3], img.astype(np.float64).mean(), rtol=1e-6)
+    np.testing.assert_allclose(got[2][:3], [300, 8000, 1])
+    # compressed formats still raise at the marked seam
+    jpg = spark.createDataFrame(
+        [(3, "image", bytearray(b"\xff\xd8\xff\xe0 fake jpeg"))],
+        "media_id long, kind string, payload binary",
+    ).withColumn("n_bytes", F.octet_length("payload").cast("long"))
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        multimodal.extract_features(jpg, decode_stub="real").collect()
