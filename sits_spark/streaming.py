@@ -19,8 +19,11 @@ comparing a stream-ingested observed table against the batch aggregation.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .manifest import bucket_expr
 
@@ -61,6 +64,74 @@ def observed_slots_stream(
             "alen_sum",
             "alen_n",
         )
+    )
+
+
+def detect_change_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    mu_stable: float,
+    sd_stable: float,
+    mu_changed: float,
+    sd_changed: float,
+    bwf: tuple[float, float] = (0.1, 0.9),
+    tau: float = 2.0,
+) -> DataFrame:
+    """Streaming bayts change detection — the custom STATEFUL operator
+    (SURVEY.md §2.9 ``applyInPandasWithState`` row; batch semantics in
+    api.detect_change, reference src/bayts_fns.cpp:44-164).
+
+    Per key, the group state carries the cumulative log-odds and the
+    first flagged timestamp; each micro-batch sorts its rows by event
+    time, continues the cumulative sum from state, and emits the key's
+    updated (cum_llr, flagged, first_flag_ts). With in-order delivery
+    per key the emitted first_flag_ts equals the batch operator's
+    first-flag exactly (asserted stream-vs-batch in tests)."""
+    lo, hi = bwf
+    out_schema = (
+        f"{key_col} string, cum_llr double, flagged boolean, first_flag_ts long"
+    )
+    state_schema = "cum double, flagged boolean, first long"
+
+    def fn(key, pdfs, state: GroupState):
+        cum, flagged, first = (
+            state.get if state.exists else (0.0, False, None)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(ts_col, kind="mergesort")
+        v = rows[value_col].to_numpy(dtype=np.float64)
+        ts = rows[ts_col].to_numpy(dtype=np.int64)
+
+        def phi(mu, sd):
+            return np.exp(-((v - mu) ** 2) / (2.0 * sd * sd)) / (
+                sd * np.sqrt(2.0 * np.pi)
+            )
+
+        p = phi(mu_changed, sd_changed) / (
+            phi(mu_changed, sd_changed) + phi(mu_stable, sd_stable)
+        )
+        p = np.clip(p, lo, hi)
+        cums = cum + np.cumsum(np.log(p / (1.0 - p)))
+        cum = float(cums[-1]) if len(cums) else cum
+        if not flagged:
+            hit = np.flatnonzero(cums >= tau)
+            if len(hit):
+                flagged = True
+                first = int(ts[hit[0]])
+        state.update((cum, bool(flagged), first))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "cum_llr": [cum],
+                "flagged": [bool(flagged)],
+                "first_flag_ts": [first],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 
 

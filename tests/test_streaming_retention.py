@@ -100,3 +100,57 @@ def test_vacuum_manifest_drops_stale_fingerprints(spark, input_path, tmp_path_fa
     assert removed == 1
     assert pipe.store.committed_buckets("tier_1m", "deadbeef") == set()
     assert len(pipe.store.committed_buckets("tier_1m", fp1)) == mf.N_BUCKETS
+
+
+def test_detect_change_stream_equals_batch(spark, tmp_path_factory):
+    """Stateful streaming bayts (applyInPandasWithState) must agree with
+    the batch operator on flagged keys and first-flag position, and must
+    carry state ACROSS micro-batches (two ordered input files)."""
+    from sits_spark import api
+
+    rows = []
+    for key, jump in (("calm", None), ("shift", 4), ("late", 6)):
+        for i in range(16):
+            v = 0.0 if (jump is None or i < jump) else 5.0
+            rows.append((key, i, v))
+    pdf_a = [r for r in rows if r[1] < 8]
+    pdf_b = [r for r in rows if r[1] >= 8]
+    src = str(tmp_path_factory.mktemp("dcs") / "in")
+    os.makedirs(src)
+    schema = "key string, ts long, v double"
+    spark.createDataFrame(pdf_a, schema).coalesce(1).write.parquet(os.path.join(src, "batch=0"))
+    spark.createDataFrame(pdf_b, schema).coalesce(1).write.parquet(os.path.join(src, "batch=1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch=*")
+    )
+    out = streaming.detect_change_stream(
+        stream, "key", "ts", "v", 0.0, 1.0, 5.0, 1.0, tau=2.0
+    )
+    ckpt = str(tmp_path_factory.mktemp("dcs_ck"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dcs_result")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql("SELECT * FROM dcs_result").toPandas()
+    # update mode emits one row per key per batch; flagged and
+    # first_flag_ts are monotone once set, so aggregate over batches
+    got = emitted.groupby("key").agg(
+        flagged=("flagged", "any"), first_flag_ts=("first_flag_ts", "max")
+    )
+    batch = api.detect_change(
+        spark.createDataFrame(rows, schema), ["key"], ["ts"], "v",
+        0.0, 1.0, 5.0, 1.0, tau=2.0,
+    ).toPandas()
+    want = dict(zip(batch["key"], batch["first_ts"]))
+    assert "calm" not in want and not bool(got.loc["calm", "flagged"])
+    for k in ("shift", "late"):
+        assert bool(got.loc[k, "flagged"])
+        assert int(got.loc[k, "first_flag_ts"]) == int(want[k]), k
