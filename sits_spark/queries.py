@@ -148,11 +148,11 @@ def ts_regularize_first(spark, sf_dir):
     least-cloud-first pattern (/root/reference/R/api_regularize.R:68-73,
     R/api_gdalcubes.R:14-47,556-564); here order = (ts, event_id).
 
-    One-pass hash aggregate: min_by over the (ts, event_id) ordering
-    struct replaces row_number's sort-shuffle — partial aggregation
-    (map-side combine) does the selection without ever sorting the
-    partition, which at 100x data is the difference between a hash agg
-    and a full range sort."""
+    One-pass aggregate: min_by over the (ts, event_id) ordering struct
+    replaces row_number's window sort-shuffle — map-side partial_min_by
+    collapses each mapper to one row per (key, day) BEFORE the exchange,
+    so at 100x data the shuffle carries group cardinality, not event
+    cardinality (plan asserted in tests/test_spark_pipeline.py)."""
     e = _t(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").alias("day")
     return (

@@ -205,3 +205,30 @@ def test_giant_conv_chunked_write_byte_identical(spark, input_path, golden, tmp_
     )
     # the giant-id table was materialized once for reuse
     assert any(d.startswith("_giants-") for d in os.listdir(wh))
+
+
+def test_regularize_first_plan_is_one_pass_agg_no_window(spark):
+    """min_by selection must compile to a one-pass aggregate with
+    map-side partial aggregation (partial_min_by before the exchange)
+    and NO window operator (VERDICT r2 #9). Spark plans struct-ordered
+    min_by as a SortAggregate — the sort is on the grouping key within
+    partitions; the win vs row_number is that the exchange carries one
+    row per (key, day) per mapper instead of every event row."""
+    from sits_spark.queries import ts_regularize_first
+
+    plan = (
+        ts_regularize_first(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_min_by" in plan
+    assert "Window" not in plan
+
+
+def test_giant_pass_filter_reaches_scan(spark, input_path, tmp_path_factory):
+    """The giant pass's conv_id isin predicate must be PUSHED to the
+    parquet scan (row-group pruning at 100 TB), not applied post-scan."""
+    raw = spark.read.parquet(input_path)
+    giant = raw.where(F.col("conv_id").isin(["conv-hot-1", "conv-hot-2"]))
+    plan = regularize.observed_slots(giant)._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[-1][:200]
+    assert "In(conv_id" in pushed, pushed
