@@ -281,6 +281,32 @@ below for transparency.
 Efficiency {pair832['eff']:.3f} vs the measured pure-CPU host ceiling
 ~0.66 at this pairing.
 
+## Per-stage 8 vs 32 split (measured once, `.scratch/stage_split.py`)
+
+Warm-run stage metrics from the Spark UI REST API (UI-enabled session, so
+absolute walls sit slightly above the tuned numbers — proportions are the
+signal):
+
+| stage | local[8] CPU-s | local[8] wall | local[32] CPU-s | local[32] wall | CPU inflation 8→32 |
+|---|---|---|---|---|---|
+| giant-extents pre-scan (conv_id, ts) | 8.0 | 1.2 s | 78.8 | 2.8 s | 9.9x |
+| scan + slot aggregation | 43.7 | 6.9 s | 73.7 | 2.7 s | 1.7x |
+| range-partition exchanges | 31.5 | 5.9 s | 54.5 | 2.4 s | 1.7x |
+| fused grid/smooth/rollup/pack + write (128 tasks) | 171.2 | 21.9 s | 593.2 | 19.2 s | 3.5x |
+
+The dominant kernel+write stage keeps ~31 of 32 cores busy to the end
+(the r2 whole-conversation straggler tail is gone — hot conversations
+now split into ~70 (conv, chunk) tasks); its per-task CPU time inflating
+3.5x at 32 cores — not idle cores or a serial fraction — is the 8→32
+limiter, consistent with the host calibration. On hardware without this
+pathology the same plan scales with its parallelism.
+
+## Scale-holds check: 4x input, one local[32] pass (measured once)
+
+122,455,649 turns (turns_scale=4) -> 149,606,050 points in 84.6 s =
+**1.77M points/s**, vs 1.65M points/s at 1x — throughput IMPROVES with
+input size (fixed overheads amortize; no new bottleneck appears at 4x).
+
 ## Headline operator queries at sf{sf} (local[{cpus}]), seconds
 
 | query | sec |
