@@ -1121,17 +1121,19 @@ def emb_ann_lsh_topk(spark, sf_dir):
         "band_id",
         "key",
     )
-    # OR across bands: distinct candidate pairs, scored once
-    cand = (
-        c.join(F.broadcast(q), ["band_id", "key"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.first("qv").alias("qv"), F.first("cv").alias("cv"))
-    )
+    # score in the join output, THEN dedup across bands: a duplicate
+    # pair's cosine is identical, so min() collapses it — the dedup
+    # shuffle carries one scalar per pair instead of two 64-float vectors
     sim = _dot(F.col("qv"), F.col("cv")) / (
         F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
     )
-    scored = cand.select("query_id", "neighbor_id", _r6(sim).alias("cosine"))
+    scored = (
+        c.join(F.broadcast(q), ["band_id", "key"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _r6(sim).alias("cosine"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("cosine").alias("cosine"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1146,16 +1148,13 @@ q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, band_id, key
       FROM bands WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, band_id, key
       FROM bands),
-cand AS (
-  SELECT query_id, neighbor_id, any_value(qv) AS qv, any_value(cv) AS cv
-  FROM c JOIN q USING (band_id, key) WHERE neighbor_id <> query_id
-  GROUP BY 1, 2
-),
 s AS (
-  SELECT query_id, neighbor_id,
-         CAST(round(list_dot_product(qv, cv) /
-              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS DOUBLE) AS cosine
-  FROM cand
+  SELECT query_id, neighbor_id, min(cosine) AS cosine FROM (
+    SELECT query_id, neighbor_id,
+           CAST(round(list_dot_product(qv, cv) /
+                (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS DOUBLE) AS cosine
+    FROM c JOIN q USING (band_id, key) WHERE neighbor_id <> query_id
+  ) GROUP BY 1, 2
 )
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s
@@ -1597,17 +1596,17 @@ def emb_cosine_neardup(spark, sf_dir):
     c = bands.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "band_id", "key"
     )
-    cand = (
-        a.join(c, ["band_id", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
-    )
     sim = _dot(F.col("va"), F.col("vb")) / (
         F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
     )
+    # score in the join, dedup across bands on the scalar (identical per
+    # duplicate pair) — the shuffle never carries embedding vectors
     return (
-        cand.select("id_a", "id_b", _r6(sim).alias("cosine"))
+        a.join(c, ["band_id", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _r6(sim).alias("cosine"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("cosine").alias("cosine"))
         .where(F.col("cosine") >= 0.4)
     )
 
@@ -1615,18 +1614,13 @@ def emb_cosine_neardup(spark, sf_dir):
 SQL_EMB_COSINE_NEARDUP = f"""
 WITH bands AS ({_sql_bands()}),
 a AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS va, band_id, key FROM bands),
-b AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb, band_id, key FROM bands),
-cand AS (
-  SELECT id_a, id_b, any_value(va) AS va, any_value(vb) AS vb
+b AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb, band_id, key FROM bands)
+SELECT id_a, id_b, min(cosine) AS cosine FROM (
+  SELECT id_a, id_b,
+         CAST(round(list_dot_product(va, vb) /
+              (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) AS DOUBLE) AS cosine
   FROM a JOIN b USING (band_id, key) WHERE id_a < id_b
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       CAST(round(list_dot_product(va, vb) /
-            (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) AS DOUBLE) AS cosine
-FROM cand
-WHERE round(list_dot_product(va, vb) /
-      (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) >= 0.4
+) GROUP BY 1, 2 HAVING min(cosine) >= 0.4
 """
 
 
