@@ -45,6 +45,7 @@ __all__ = [
     "label_classification",
     "uncertainty",
     "normalize",
+    "clean",
     "reclassify",
     "predictors",
     "sample",
@@ -341,6 +342,40 @@ def normalize(
             f"{c}{suffix}": F.least(F.greatest((F.col(c) - lo) / span, F.lit(0.0)), F.lit(1.0))
             for c in cols
         }
+    )
+
+
+# ---------------------------------------------------------------- clean
+
+
+def clean(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    label_col: str,
+    radius: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """sits_clean (R/sits_clean.R): replace each observation's label with
+    the MODAL label of its ±radius neighborhood along the series — the
+    post-classification smoothing that removes salt-and-pepper noise.
+    Deterministic ties: the lexicographically smallest most-frequent
+    label. Pure Catalyst window + array expressions (frame is tiny, the
+    O(w²) count lambdas are constant work per row)."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(-radius, radius)
+    )
+    modal = (
+        "array_min(filter(_warr, x -> "
+        " size(filter(_warr, y -> y = x)) ="
+        " array_max(transform(_warr, x -> size(filter(_warr, y -> y = x))))))"
+    )
+    return (
+        df.withColumn("_warr", F.collect_list(F.col(label_col)).over(w))
+        .withColumn(out_col or label_col, F.expr(modal))
+        .drop("_warr")
     )
 
 

@@ -214,7 +214,32 @@ FROM rc GROUP BY user_id
 """
 
 
+def api_clean_modal(spark, sf_dir):
+    """clean (sits_clean modal filter, R/sits_clean.R): each event's type
+    replaced by the ±2-neighborhood modal type along the user's series."""
+    e = _events(spark, sf_dir)
+    cleaned = api.clean(
+        e, ["user_id"], ["ts", "event_id"], "event_type", radius=2,
+        out_col="cleaned_type",
+    )
+    return cleaned.select("event_id", "user_id", "event_type", "cleaned_type")
+
+
+SQL_API_CLEAN_MODAL = """
+SELECT event_id, user_id, event_type,
+       list_min(list_filter(warr, x ->
+         len(list_filter(warr, y -> y = x)) =
+         list_max(list_transform(warr, x -> len(list_filter(warr, y -> y = x)))))) AS cleaned_type
+FROM (
+  SELECT event_id, user_id, event_type, list(event_type) OVER w AS warr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+)
+"""
+
+
 FACADE_REGISTRY: dict[str, tuple] = {
+    "api_clean_modal": (api_clean_modal, SQL_API_CLEAN_MODAL),
     "api_verbs_chain": (api_verbs_chain, SQL_API_VERBS_CHAIN),
     "api_reclassify_predictors": (
         api_reclassify_predictors,

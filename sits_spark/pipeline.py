@@ -229,7 +229,11 @@ class RollupPipeline:
         import pyarrow.parquet as pq
 
         span_sec = self.giant_span_chunks * engine_core.CHUNK_SLOTS * 60
-        path = os.path.join(self.warehouse, f"_giants-{fp}")
+        # cache key includes the threshold: a rerun with a different
+        # giant_span_chunks must not reuse a stale id list
+        path = os.path.join(
+            self.warehouse, f"_giants-{fp}-c{self.giant_span_chunks}"
+        )
         if not os.path.isdir(path):
             ts_s = F.col("ts").cast("timestamp").cast("long")
             (

@@ -240,7 +240,10 @@ FROM dense GROUP BY 1, 2
 # -- events-derived engine oracles (driver-view-only SQL) ------------------
 #
 # The fixture-based oracles above read an absolute parquet path, which a
-# sandboxed DuckDB (external file access disabled) cannot see. These
+# sandboxed DuckDB (external file access disabled) rejects with
+# "Permission Error: Scanning read_parquet files is disabled" — verified
+# against duckdb.connect(config={"enable_external_access": "false"}),
+# and the likely reason the r2 driver dropped those five rows. These
 # variants derive the SAME transcript shape (BASELINE.json input_hint)
 # deterministically from the driver's registered `events` view — pure SQL
 # on both sides — and push it through the REAL engine kernels

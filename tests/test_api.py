@@ -206,3 +206,20 @@ def test_detect_change_dtw(spark):
     assert api.detect_change_dtw(
         df2, ["key"], ["ts"], "v", {"p": [1.0, 2.0]}, window=4
     ).count() == 2
+
+
+def test_clean_modal_filter(spark):
+    # salt-and-pepper 'b' inside a run of 'a' gets voted out; ties break
+    # to the lexicographically smallest label
+    rows = [("k", i, lbl) for i, lbl in enumerate(["a", "a", "b", "a", "a", "c", "c"])]
+    df = spark.createDataFrame(rows, "key string, ts int, lbl string")
+    got = [
+        r.lbl
+        for r in api.clean(df, ["key"], ["ts"], "lbl", radius=2)
+        .orderBy("ts")
+        .collect()
+    ]
+    assert got[2] == "a"          # noise removed
+    assert got[0] == "a" and got[6] == "c"
+    # tie at index 4: window = [b,a,a,c,c] -> counts a=2,c=2 -> 'a' wins
+    assert got[4] == "a"
