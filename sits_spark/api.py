@@ -518,6 +518,7 @@ def detect_change_dtw(
     patterns: Mapping[str, Sequence[float]],
     window: int = 4,
     threshold: float = 60.0,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """DTW pattern-based change detection — the reference's second
     detect-change mode (src/dtw.cpp:73-105 symmetric-2 DTW;
@@ -555,10 +556,14 @@ def detect_change_dtw(
         out = np.stack([kernels.dtw_windows(wins, pats[k]) for k in names], axis=1)
         return pd.Series(list(out))
 
+    def _dcol(i):
+        c = F.col("_ds")[i]
+        return F.round(c, round_dp) if round_dp is not None else c
+
     d = arrs.select(*keys, "win_id", dtw_all("vals").alias("_ds")).select(
         *keys,
         "win_id",
-        *[F.col("_ds")[i].alias(f"d_{n}") for i, n in enumerate(names)],
+        *[_dcol(i).alias(f"d_{n}") for i, n in enumerate(names)],
     )
     dcols = [F.col(f"d_{n}") for n in names]
     best_d = dcols[0] if len(dcols) == 1 else F.least(*dcols)

@@ -72,6 +72,7 @@ class ManifestStore:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.path = os.path.join(warehouse, "_manifest")
+        self._max_seq: int | None = None  # single-writer cache
 
     def _read_all(self):
         import pyarrow.parquet as pq
@@ -106,12 +107,19 @@ class ManifestStore:
         return {b for b, (_sq, rc) in latest.items() if rc >= 0}
 
     def _next_seq(self) -> int:
-        top = 0
-        for t in self._read_all():
-            col = t.to_pydict().get("seq")
-            if col:
-                top = max(top, max(s or 0 for s in col))
-        return top + 1
+        """Next commit sequence. The directory scan runs ONCE per store
+        instance (the store is the manifest's single writer); later
+        commits increment the cached max — per-group manifest writes stay
+        O(1) instead of re-reading every commit file."""
+        if self._max_seq is None:
+            top = 0
+            for t in self._read_all():
+                col = t.to_pydict().get("seq")
+                if col:
+                    top = max(top, max(s or 0 for s in col))
+            self._max_seq = top
+        self._max_seq += 1
+        return self._max_seq
 
     def commit(
         self, rows: list[tuple[str, int, str, int, str]], seq: int | None = None

@@ -175,20 +175,28 @@ def _data_stream(obs: DataFrame) -> DataFrame:
     return own.unionByName(lo_halo).unionByName(hi_halo)
 
 
+def _iter_groups(tbl) -> Iterator[tuple[int, int]]:
+    """(lo, hi) bounds of each processable (conv, chunk) group in a
+    gkey-sorted batch — the SINGLE definition of the skip rules (a
+    halo-only group has no anchor row; an anchor row carries conv_lo)."""
+    key = tbl["gkey"]
+    _, starts = np.unique(key, return_index=True)
+    starts = np.sort(starts)
+    bounds = np.append(starts, len(key))
+    for gi in range(len(starts)):
+        lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+        if tbl["marker"][lo] != 0:
+            continue  # halo-only group without anchor: nothing to emit
+        conv_lo = tbl["conv_lo"][lo]
+        if conv_lo is None or (isinstance(conv_lo, float) and np.isnan(conv_lo)):
+            continue
+        yield lo, hi
+
+
 def _chunk_iter(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for tbl in arrow_conv_batches(it, key="gkey"):
-        key = tbl["gkey"]
-        _, starts = np.unique(key, return_index=True)
-        starts = np.sort(starts)
-        bounds = np.append(starts, len(key))
         out: dict[str, list[np.ndarray]] = {}
-        for gi in range(len(starts)):
-            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-            if tbl["marker"][lo] != 0:
-                continue  # halo-only group without anchor: nothing to emit
-            conv_lo = tbl["conv_lo"][lo]
-            if conv_lo is None or (isinstance(conv_lo, float) and np.isnan(conv_lo)):
-                continue
+        for lo, hi in _iter_groups(tbl):
             res = _process_group(tbl, lo, hi)
             if res is None:
                 continue
@@ -390,9 +398,10 @@ def fused_write_chunked(
     via the halo/anchor kernel (tests/test_chunked.py), aggregates/packs
     per chunk — exact because chunk cuts are epoch-day aligned. Returns
     the same lazy stats DataFrame contract as fused_write."""
-    from .fused import PartitionedWriter, STATS_SCHEMA
+    from .fused import PartitionedWriter, STATS_SCHEMA, require_no_speculation
 
     spark = obs.sparkSession
+    require_no_speculation(spark)
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     stream = _chunked_stream(obs, n)
 
@@ -402,19 +411,7 @@ def fused_write_chunked(
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         writer = PartitionedWriter(table_path, pid, label="g")
         for tbl in arrow_conv_batches(it, key="gkey"):
-            key = tbl["gkey"]
-            _, starts = np.unique(key, return_index=True)
-            starts = np.sort(starts)
-            bounds = np.append(starts, len(key))
-            for gi in range(len(starts)):
-                lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-                if tbl["marker"][lo] != 0:
-                    continue  # halo-only group without anchor
-                conv_lo = tbl["conv_lo"][lo]
-                if conv_lo is None or (
-                    isinstance(conv_lo, float) and np.isnan(conv_lo)
-                ):
-                    continue
+            for lo, hi in _iter_groups(tbl):
                 _emit_group_tiers(writer, tbl, lo, hi, tiers, with_pack)
         yield writer.stats_batch()
 

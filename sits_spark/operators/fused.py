@@ -74,6 +74,18 @@ STATS_SCHEMA = "tier string, bucket int, rows long"
 _STATS_PA = schema_of(STATS_SCHEMA)
 
 
+def require_no_speculation(spark) -> None:
+    """Every PartitionedWriter-based job writes deterministic file names
+    with no output-commit coordinator — safe under sequential task retry,
+    unsafe under concurrent attempts of one task (speculation)."""
+    if spark.conf.get("spark.speculation", "false").lower() == "true":
+        raise RuntimeError(
+            "direct tier writes require spark.speculation=false: concurrent "
+            "task attempts would write the same deterministic file names. "
+            "Use manifest.write_tier (Spark-committed) or disable speculation."
+        )
+
+
 def _tier_stream(
     it: Iterator[pa.RecordBatch], tiers: tuple[str, ...], with_pack: bool
 ):
@@ -336,13 +348,7 @@ def fused_write(
     coordinator, which is only safe when a task attempt cannot run twice
     concurrently — i.e. speculation off. Idempotent under sequential task
     RETRY (same name, same content); enforced here rather than assumed."""
-    spark = observed.sparkSession
-    if spark.conf.get("spark.speculation", "false").lower() == "true":
-        raise RuntimeError(
-            "fused_write requires spark.speculation=false: concurrent task "
-            "attempts would write the same deterministic file names. Use "
-            "manifest.write_tier (Spark-committed) or disable speculation."
-        )
+    require_no_speculation(observed.sparkSession)
     return _cluster(observed, partitions).mapInArrow(
         _write_iter(table_path, tiers, with_pack), STATS_SCHEMA
     )

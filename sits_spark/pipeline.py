@@ -236,6 +236,11 @@ class RollupPipeline:
         )
         if not os.path.isdir(path):
             ts_s = F.col("ts").cast("timestamp").cast("long")
+            # write to a temp dir and rename into place: a run killed
+            # mid-write must not leave a partial directory that later
+            # runs would read as "no giants" (silently losing the split)
+            tmp = path + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
             (
                 raw.select("conv_id", ts_s.alias("s"))
                 .groupBy("conv_id")
@@ -246,8 +251,9 @@ class RollupPipeline:
                 .select("conv_id")
                 .coalesce(1)
                 .write.mode("overwrite")
-                .parquet(path)
+                .parquet(tmp)
             )
+            os.rename(tmp, path)
         ids: list[str] = []
         for f in os.listdir(path):
             if f.endswith(".parquet"):

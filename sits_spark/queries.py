@@ -1893,55 +1893,22 @@ def ts_dtw_change(spark, sf_dir):
     Patterns are literals in the closure: nothing is broadcast-joined,
     nothing is quadratic. Univariate p-norm = |a-b| (dtw.cpp:36-48 with
     one band), so the DP is +/2*/min only — the oracle replays it as
-    layered closed-form SQL, making this a hash-checked DTW."""
-    import numpy as np
-
-    from . import kernels
+    layered closed-form SQL, making this a hash-checked DTW. Thin wrapper
+    over the public verb (api.detect_change_dtw) so the oracle checks the
+    exact code path users run; round_dp=6 makes ranking/thresholding
+    operate on the rounded distances (hash-stable)."""
+    from . import api
 
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    rn = F.row_number().over(w) - 1
-    win = e.select("user_id", "value", rn.alias("rn")).select(
-        "user_id", "value", "rn", F.floor(F.col("rn") / _DTW_W).alias("win_id")
-    )
-    arrs = (
-        win.groupBy("user_id", "win_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("rn", "value"))),
-                lambda x: x["value"],
-            ).alias("vals")
-        )
-        .where(F.size("vals") == _DTW_W)
-    )
-
-    pats = {k: np.array(v, dtype=np.float64) for k, v in _DTW_PATTERNS.items()}
-
-    @F.pandas_udf("array<double>")
-    def dtw_all(vals: pd.Series) -> pd.Series:
-        wins = np.stack(vals.to_numpy())
-        out = np.stack(
-            [kernels.dtw_windows(wins, pats[k]) for k in sorted(pats)], axis=1
-        )
-        return pd.Series(list(out))
-
-    names = sorted(_DTW_PATTERNS)
-    d = arrs.select("user_id", "win_id", dtw_all("vals").alias("ds"))
-    cols = [
-        _r6(F.col("ds")[i]).alias(f"d_{name}") for i, name in enumerate(names)
-    ]
-    d = d.select("user_id", "win_id", *cols)
-    best_d = F.least(*[F.col(f"d_{n}") for n in names])
-    # ties break to the alphabetically first pattern (deterministic)
-    best = F.lit(None)
-    for name in reversed(names):
-        best = F.when(F.col(f"d_{name}") == best_d, name).otherwise(best)
-    return d.select(
-        "user_id",
-        "win_id",
-        *[f"d_{n}" for n in names],
-        best.alias("best_pattern"),
-        (best_d <= _DTW_THRESHOLD).alias("is_change"),
+    return api.detect_change_dtw(
+        e,
+        ["user_id"],
+        ["ts", "event_id"],
+        "value",
+        _DTW_PATTERNS,
+        window=_DTW_W,
+        threshold=_DTW_THRESHOLD,
+        round_dp=6,
     )
 
 

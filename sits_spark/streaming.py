@@ -87,8 +87,11 @@ def detect_change_stream(
     first flagged timestamp; each micro-batch sorts its rows by event
     time, continues the cumulative sum from state, and emits the key's
     updated (cum_llr, flagged, first_flag_ts). With in-order delivery
-    per key the emitted first_flag_ts equals the batch operator's
-    first-flag exactly (asserted stream-vs-batch in tests)."""
+    per key this matches the batch operator's first-flag up to last-ulp
+    exp/log differences between numpy and the JVM (the same class of
+    divergence ts_bayts_change quantizes away; a cum sitting within
+    ~1e-15 of tau could flip) — agreement asserted stream-vs-batch on
+    clamped inputs in tests."""
     lo, hi = bwf
     out_schema = (
         f"{key_col} string, cum_llr double, flagged boolean, first_flag_ts long"

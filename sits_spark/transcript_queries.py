@@ -185,21 +185,7 @@ _FIXTURE_SRC = f"read_parquet('{FIXTURE_PATH}')"
 
 SQL_TRANSCRIPT_SLOTS_OBS = _sql_obs(_FIXTURE_SRC, " ORDER BY conv_id, slot_s")
 
-_SQL_GRID_BASE = f"""
-WITH obs AS ({_sql_obs(_FIXTURE_SRC)}),
-span AS (SELECT conv_id, min(slot_s) AS s0, max(slot_s) AS s1 FROM obs GROUP BY 1),
-grid AS (SELECT conv_id, unnest(generate_series(s0, s1, 60)) AS slot_s FROM span),
-dense AS (
-  SELECT g.conv_id, g.slot_s,
-         coalesce(o.n_turns, 0) > 0 AS present,
-         coalesce(o.n_turns, 0) AS n_turns,
-         coalesce(o.tokens_user, 0) AS tokens_user,
-         coalesce(o.tokens_assistant, 0) AS tokens_assistant,
-         coalesce(o.tokens_tool, 0) AS tokens_tool,
-         coalesce(o.tool_calls, 0) AS tool_calls
-  FROM grid g LEFT JOIN obs o ON g.conv_id = o.conv_id AND g.slot_s = o.slot_s
-)
-"""
+_SQL_GRID_BASE = _sql_grid_base(_FIXTURE_SRC)
 
 SQL_TRANSCRIPT_GRID_1M_INTS = (
     _SQL_GRID_BASE
