@@ -236,13 +236,22 @@ class PartitionedWriter:
     ``label`` disambiguates independent write jobs targeting the same
     table (e.g. the normal and giant-conv passes)."""
 
-    def __init__(self, table_path: str, pid: int, label: str = "n"):
+    def __init__(
+        self,
+        table_path: str,
+        pid: int,
+        label: str = "n",
+        flush_rows: int | None = None,
+        flush_bytes: int | None = None,
+    ):
         import pyarrow.dataset as pads
 
         self._pads = pads
         self.table_path = table_path
         self.pid = pid
         self.label = label
+        self.flush_rows = flush_rows or FLUSH_ROWS
+        self.flush_bytes = flush_bytes or FLUSH_BYTES
         self._acc: dict[str, list[pa.RecordBatch]] = {}
         self._acc_rows: dict[str, int] = {}
         self._acc_bytes: dict[str, int] = {}
@@ -269,8 +278,8 @@ class PartitionedWriter:
             else c + np.pad(bc, (0, len(c) - len(bc)))
         )
         if (
-            self._acc_rows[kind] >= FLUSH_ROWS
-            or self._acc_bytes[kind] >= FLUSH_BYTES
+            self._acc_rows[kind] >= self.flush_rows
+            or self._acc_bytes[kind] >= self.flush_bytes
         ):
             self._flush(kind)
 
@@ -319,12 +328,20 @@ class PartitionedWriter:
         )
 
 
-def _write_iter(table_path: str, tiers: tuple[str, ...], with_pack: bool):
+def _write_iter(
+    table_path: str,
+    tiers: tuple[str, ...],
+    with_pack: bool,
+    flush_rows: int | None = None,
+    flush_bytes: int | None = None,
+):
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        writer = PartitionedWriter(table_path, pid)
+        writer = PartitionedWriter(
+            table_path, pid, flush_rows=flush_rows, flush_bytes=flush_bytes
+        )
         for kind, data, n in _tier_stream(it, tiers, with_pack):
             writer.add(kind, data, n)
         yield writer.stats_batch()
@@ -338,6 +355,8 @@ def fused_write(
     tiers: tuple[str, ...] = ("1h", "1d"),
     partitions: int | None = None,
     with_pack: bool = True,
+    flush_rows: int | None = None,
+    flush_bytes: int | None = None,
 ) -> DataFrame:
     """Observed 1-minute slots -> partitioned tier table on disk.
 
@@ -350,7 +369,8 @@ def fused_write(
     RETRY (same name, same content); enforced here rather than assumed."""
     require_no_speculation(observed.sparkSession)
     return _cluster(observed, partitions).mapInArrow(
-        _write_iter(table_path, tiers, with_pack), STATS_SCHEMA
+        _write_iter(table_path, tiers, with_pack, flush_rows, flush_bytes),
+        STATS_SCHEMA,
     )
 
 

@@ -232,3 +232,29 @@ def test_giant_pass_filter_reaches_scan(spark, input_path, tmp_path_factory):
     plan = regularize.observed_slots(giant)._jdf.queryExecution().executedPlan().toString()
     pushed = plan.split("PushedFilters")[-1][:200]
     assert "In(conv_id" in pushed, pushed
+
+
+def test_multi_flush_write_byte_identical(spark, input_path, golden, tmp_path_factory):
+    """Force the incremental writer through MANY flushes per task (tiny
+    thresholds passed through the plan closure): the multi-file tier
+    output must still byte-match the oracle — flush boundaries are
+    invisible in the data."""
+    import glob
+
+    from sits_spark.operators import fused
+
+    table = str(tmp_path_factory.mktemp("whf") / "tiers")
+    obs = regularize.observed_slots(spark.read.parquet(input_path))
+    stats = fused.fused_write(
+        obs, table, ("1h", "1d"), flush_rows=1000, flush_bytes=1 << 16
+    )
+    assert stats.count() > 0  # the action IS the write
+    got = (
+        spark.read.parquet(os.path.join(table, "row_kind=slot"))
+        .select(*fused.TIER_1M_COLS)
+        .toPandas()
+    )
+    assert_frames_bitexact(got, golden["tier_1m"], ["conv_id", "slot_start"])
+    files = glob.glob(os.path.join(table, "row_kind=slot", "**", "*.parquet"), recursive=True)
+    flush_ids = {os.path.basename(f).split("-")[2] for f in files}
+    assert len(flush_ids) > 1, flush_ids
