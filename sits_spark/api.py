@@ -45,6 +45,7 @@ __all__ = [
     "label_classification",
     "uncertainty",
     "normalize",
+    "accuracy",
     "clean",
     "reclassify",
     "predictors",
@@ -342,6 +343,70 @@ def normalize(
             f"{c}{suffix}": F.least(F.greatest((F.col(c) - lo) / span, F.lit(0.0)), F.lit(1.0))
             for c in cols
         }
+    )
+
+
+# ------------------------------------------------------------- accuracy
+
+
+def accuracy(df: DataFrame, ref_col: str, pred_col: str) -> DataFrame:
+    """Accuracy assessment (reference sits_accuracy, R/sits_accuracy.R:54
+    user/producer/overall + Cohen's kappa): one row per reference class
+    with its user's/producer's accuracy, plus the overall accuracy and
+    kappa repeated on every row (a single flat hash-checkable shape).
+
+    One shuffle: the (ref, pred) confusion counts; every derived metric
+    is arithmetic over the tiny aggregated matrix (class-count sized, so
+    the follow-up aggregations are driver-trivial at any data scale)."""
+    cm = df.groupBy(
+        F.col(ref_col).alias("ref"), F.col(pred_col).alias("pred")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cm.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.when(F.col("ref") == F.col("pred"), F.col("n")).otherwise(0)).alias(
+            "n_diag"
+        ),
+    )
+    refs = cm.groupBy("ref").agg(F.sum("n").alias("n_ref"))
+    preds = cm.groupBy(F.col("pred").alias("cls")).agg(F.sum("n").alias("n_pred"))
+    diag = cm.where(F.col("ref") == F.col("pred")).select(
+        F.col("ref").alias("cls_d"), F.col("n").alias("n_correct")
+    )
+    # pe = sum_c rowsum_c * colsum_c / N^2 (chance agreement)
+    per = (
+        refs.join(preds, refs["ref"] == preds["cls"], "full")
+        .select(
+            F.coalesce("ref", "cls").alias("cls"),
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        )
+        .join(diag, F.col("cls") == F.col("cls_d"), "left")
+        .select(
+            "cls", "n_ref", "n_pred",
+            F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+        )
+    )
+    pe_sum = per.agg(
+        F.sum(F.col("n_ref").cast("double") * F.col("n_pred")).alias("pe_num")
+    )
+    out = per.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(pe_sum))
+    po = F.col("n_diag").cast("double") / F.col("n_total")
+    pe = F.col("pe_num") / (F.col("n_total").cast("double") * F.col("n_total"))
+    return out.select(
+        "cls",
+        "n_ref",
+        "n_pred",
+        "n_correct",
+        # try_divide: a class absent from predictions (or references)
+        # yields NULL accuracy instead of an ANSI divide-by-zero error
+        F.round(
+            F.try_divide(F.col("n_correct").cast("double"), F.col("n_pred")), 6
+        ).alias("user_acc"),
+        F.round(
+            F.try_divide(F.col("n_correct").cast("double"), F.col("n_ref")), 6
+        ).alias("prod_acc"),
+        F.round(po, 6).alias("overall_acc"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
 
 

@@ -238,7 +238,58 @@ FROM (
 """
 
 
+def api_accuracy_kappa(spark, sf_dir):
+    """accuracy (sits_accuracy, R/sits_accuracy.R): confusion of each
+    user's event_type against the PREVIOUS event_type in the series (a
+    deterministic self-derived prediction), per-class user/producer
+    accuracy + overall + Cohen's kappa."""
+    from pyspark.sql import Window as W
+
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lab = e.select(
+        F.col("event_type").alias("ref_t"),
+        F.lag("event_type").over(w).alias("pred_t"),
+    ).where(F.col("pred_t").isNotNull())
+    return api.accuracy(lab, "ref_t", "pred_t")
+
+
+SQL_API_ACCURACY_KAPPA = """
+WITH lab AS (
+  SELECT event_type AS ref,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pred
+  FROM events
+), lab2 AS (SELECT * FROM lab WHERE pred IS NOT NULL),
+cm AS (SELECT ref, pred, count(*) AS n FROM lab2 GROUP BY 1, 2),
+tot AS (
+  SELECT sum(n) AS n_total,
+         sum(CASE WHEN ref = pred THEN n ELSE 0 END) AS n_diag
+  FROM cm
+),
+refs AS (SELECT ref, sum(n) AS n_ref FROM cm GROUP BY 1),
+preds AS (SELECT pred AS cls, sum(n) AS n_pred FROM cm GROUP BY 1),
+diag AS (SELECT ref AS cls_d, n AS n_correct FROM cm WHERE ref = pred),
+per AS (
+  SELECT coalesce(refs.ref, preds.cls) AS cls,
+         coalesce(n_ref, 0) AS n_ref,
+         coalesce(n_pred, 0) AS n_pred,
+         coalesce(n_correct, 0) AS n_correct
+  FROM refs FULL JOIN preds ON refs.ref = preds.cls
+  LEFT JOIN diag ON coalesce(refs.ref, preds.cls) = diag.cls_d
+),
+pe AS (SELECT sum(CAST(n_ref AS DOUBLE) * n_pred) AS pe_num FROM per)
+SELECT cls, n_ref, n_pred, n_correct,
+       CAST(round(CAST(n_correct AS DOUBLE) / NULLIF(n_pred, 0), 6) AS DOUBLE) AS user_acc,
+       CAST(round(CAST(n_correct AS DOUBLE) / NULLIF(n_ref, 0), 6) AS DOUBLE) AS prod_acc,
+       CAST(round(CAST(n_diag AS DOUBLE) / n_total, 6) AS DOUBLE) AS overall_acc,
+       CAST(round((CAST(n_diag AS DOUBLE) / n_total - pe_num / (CAST(n_total AS DOUBLE) * n_total))
+            / (1.0 - pe_num / (CAST(n_total AS DOUBLE) * n_total)), 6) AS DOUBLE) AS kappa
+FROM per, tot, pe
+"""
+
+
 FACADE_REGISTRY: dict[str, tuple] = {
+    "api_accuracy_kappa": (api_accuracy_kappa, SQL_API_ACCURACY_KAPPA),
     "api_clean_modal": (api_clean_modal, SQL_API_CLEAN_MODAL),
     "api_verbs_chain": (api_verbs_chain, SQL_API_VERBS_CHAIN),
     "api_reclassify_predictors": (

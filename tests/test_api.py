@@ -223,3 +223,22 @@ def test_clean_modal_filter(spark):
     assert got[0] == "a" and got[6] == "c"
     # tie at index 4: window = [b,a,a,c,c] -> counts a=2,c=2 -> 'a' wins
     assert got[4] == "a"
+
+
+def test_accuracy_kappa_known_matrix(spark):
+    # hand-computed confusion: ref a,a,a,b / pred a,a,b,b
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b")]
+    df = spark.createDataFrame(rows, "ref string, pred string")
+    got = {r.cls: r for r in api.accuracy(df, "ref", "pred").collect()}
+    # po = 3/4; pe = (3*2 + 1*2)/16 = 0.5; kappa = (0.75-0.5)/0.5 = 0.5
+    assert got["a"].n_ref == 3 and got["a"].n_pred == 2 and got["a"].n_correct == 2
+    assert got["a"].user_acc == 1.0 and round(got["a"].prod_acc, 6) == 0.666667
+    assert got["b"].user_acc == 0.5 and got["b"].prod_acc == 1.0
+    assert got["a"].overall_acc == 0.75 and got["a"].kappa == 0.5
+    # class only in ref (never predicted): null user_acc, zero correct
+    rows2 = rows + [("c", "a")]
+    got2 = {r.cls: r for r in api.accuracy(
+        spark.createDataFrame(rows2, "ref string, pred string"), "ref", "pred"
+    ).collect()}
+    assert got2["c"].n_pred == 0 and got2["c"].n_correct == 0
+    assert got2["c"].user_acc is None
