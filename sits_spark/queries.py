@@ -726,24 +726,39 @@ WHERE common / (sa.sz + sb.sz - common) >= 0.5
 """
 
 
-_MINHASH_K = 8
+_MINHASH_K = 16
 _MINHASH_P = 1_000_003
 _MINHASH_AB = [(97 + 13 * i, 31 + 7 * i) for i in range(_MINHASH_K)]
 
 
 def doc_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates: portable word hash
-    h(w) = int(md5(w)[:8], 16); k=8 permutations (a*h+b) mod p; 4 bands of
-    2 rows each; candidate pairs collide on >= 1 band (OR across bands —
-    the banding recall structure of the LSH scheme). The pair join is
-    keyed on (band_id, band_key), so only same-band collisions meet."""
+    over 3-gram SHINGLES (the brief's shingle->minhash->band->bucket-join
+    pipeline): h(s) = int(md5(s)[:8], 16); k=16 permutations (a*h+b) mod
+    p; 4 bands of 4 rows each; candidate pairs collide on >= 1 band (OR
+    across bands — the banding recall structure of the LSH scheme). The
+    pair join is keyed on (band_id, band_key), so only same-band
+    collisions meet. Shingling is load-bearing: this corpus has a
+    31-word vocabulary with 30 words in ~78% of docs, so WORD-set
+    signatures admitted 48-76% of all pairs (no pruning); 3-gram sets
+    discriminate."""
     d = _t(spark, sf_dir, "documents")
     words = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("w")
+        "doc_id", F.split("text", r"\s+").alias("w")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+                )
+            )
+        ).alias("s"),
     )
     h = words.select(
         "doc_id",
-        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h"),
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h"),
     )
     mins = h.groupBy("doc_id").agg(
         *[
@@ -762,11 +777,13 @@ def doc_minhash_lsh(spark, sf_dir):
                         F.lit(bi).alias("band_id"),
                         F.concat_ws(
                             ":",
-                            F.col(f"m{2 * bi}").cast("string"),
-                            F.col(f"m{2 * bi + 1}").cast("string"),
+                            *[
+                                F.col(f"m{4 * bi + r}").cast("string")
+                                for r in range(4)
+                            ],
                         ).alias("key"),
                     )
-                    for bi in range(_MINHASH_K // 2)
+                    for bi in range(_MINHASH_K // 4)
                 ]
             )
         ).alias("bd"),
@@ -793,15 +810,22 @@ def _sql_minhash() -> str:
         for i, (a, b) in enumerate(_MINHASH_AB)
     )
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {bi} AS band_id, CAST(m{2 * bi} AS VARCHAR) || ':' || "
-        f"CAST(m{2 * bi + 1} AS VARCHAR) AS key FROM mins"
-        for bi in range(_MINHASH_K // 2)
+        "SELECT doc_id, {bi} AS band_id, {key} AS key FROM mins".format(
+            bi=bi,
+            key=" || ':' || ".join(
+                f"CAST(m{4 * bi + r} AS VARCHAR)" for r in range(4)
+            ),
+        )
+        for bi in range(_MINHASH_K // 4)
     )
     return f"""
-WITH words AS (
-  SELECT DISTINCT doc_id, w FROM documents, UNNEST(regexp_split_to_array(text, '\\s+')) AS t(w)
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM toks,
+    UNNEST(list_transform(generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
 ),
-h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words),
+h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
 mins AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
 bands AS ({band_rows})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
