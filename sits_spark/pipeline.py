@@ -209,6 +209,86 @@ class RollupPipeline:
             )
         return out
 
+    def run_from_observed(
+        self,
+        observed_path: str,
+        run_id: str = "compact-0",
+        resume: bool = True,
+        tiers: tuple[str, ...] = ("1h", "1d"),
+        with_pack: bool = True,
+    ) -> dict[str, str]:
+        """Compact a PRE-AGGREGATED observed-slot table (the streaming
+        sink's output, sits_spark.streaming.start_observed_sink) into the
+        same tier layout ``run`` produces — the batch-compaction half of
+        the streaming story: stream -> observed slots (exact ints,
+        watermarked) -> this -> identical tiers (byte-equality vs the
+        raw-input pipeline asserted in tests).
+
+        Same manifest/resume/tombstone protocol as ``run``; giant
+        conversations split per (conv, chunk) exactly as in ``run``,
+        with extents read from the (narrow) observed table itself."""
+        fp = mf.input_fingerprint(observed_path)
+        obs_cols = ["conv_id", "slot_s", *regularize._OBS_COLS]
+        obs_all = self.spark.read.parquet(observed_path).select(*obs_cols)
+        tier_names = ["tier_1m", "agg"] + (["packed_1h"] if with_pack else [])
+        out = {t: self.tier_path(t) for t in tier_names}
+
+        if resume:
+            missing = sorted(
+                set().union(
+                    *(
+                        set(self.store.plan_missing(t, fp, self.n_buckets))
+                        for t in tier_names
+                    )
+                )
+            )
+        else:
+            missing = list(range(self.n_buckets))
+        if not missing:
+            return out
+
+        giants = self._giant_convs(
+            obs_all.select("conv_id", F.col("slot_s").cast("timestamp").alias("ts")),
+            fp,
+        )
+        obs = obs_all
+        if len(missing) != self.n_buckets:
+            obs = obs.where(mf.bucket_expr().isin(missing))
+        if not giants:
+            stats = fused.fused_write(
+                obs, self.table_path, tiers, self.range_partitions,
+                with_pack=with_pack,
+            )
+        else:
+            gcol = F.col("conv_id")
+            stats = fused.fused_write(
+                obs.where(~gcol.isin(giants)),
+                self.table_path, tiers, self.range_partitions,
+                with_pack=with_pack,
+            ).unionByName(
+                chunk_split.fused_write_chunked(
+                    obs.where(gcol.isin(giants)),
+                    self.table_path, tiers, self.range_partitions,
+                    with_pack=with_pack,
+                )
+            )
+        self.store.invalidate(list(TIER_DIRS), missing, fp, run_id)
+        self._drop_bucket_dirs(missing)
+        counts = {
+            (r["tier"], r["bucket"]): r["rows"]
+            for r in stats.groupBy("tier", "bucket")
+            .agg(F.sum("rows").alias("rows"))
+            .collect()
+        }
+        self.store.commit(
+            [
+                (t, b, fp, counts.get((t, b), 0), run_id)
+                for t in tier_names
+                for b in missing
+            ]
+        )
+        return out
+
     # driver-side bound on the giant-id list; beyond it only the
     # worst (longest-span) conversations are split — the rest stay on
     # the whole-conv path, which is always correct, just less parallel

@@ -154,3 +154,46 @@ def test_detect_change_stream_equals_batch(spark, tmp_path_factory):
     for k in ("shift", "late"):
         assert bool(got.loc[k, "flagged"])
         assert int(got.loc[k, "first_flag_ts"]) == int(want[k]), k
+
+
+def test_compaction_from_observed_equals_raw_pipeline(spark, input_path, tmp_path_factory):
+    """run_from_observed over a persisted observed-slot table (the
+    streaming sink's layout) must produce byte-identical tiers to the
+    raw-input pipeline — together with the stream-vs-batch observed
+    equality above, this closes the stream -> tiers loop."""
+    wh_a = str(tmp_path_factory.mktemp("cwa"))
+    pipe_a = RollupPipeline(spark, wh_a)
+    pipe_a.run(input_path, run_id="raw-1")
+
+    obs_path = str(tmp_path_factory.mktemp("cobs") / "observed")
+    regularize.observed_slots(spark.read.parquet(input_path)).write.parquet(obs_path)
+    wh_b = str(tmp_path_factory.mktemp("cwb"))
+    pipe_b = RollupPipeline(spark, wh_b)
+    pipe_b.run_from_observed(obs_path, run_id="compact-1")
+
+    for tier in ("tier_1m", "agg", "packed_1h"):
+        a = pipe_a.read_tier(tier).toPandas()
+        b = pipe_b.read_tier(tier).toPandas()
+        keys = ["conv_id", "slot_start" if tier == "tier_1m" else "window_start"]
+        a = a.sort_values(keys).reset_index(drop=True)
+        b = b.sort_values(keys).reset_index(drop=True)
+        assert a.columns.tolist() == b.columns.tolist() and len(a) == len(b) > 0
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype == np.float64:
+                assert np.array_equal(
+                    av.view(np.uint64), bv.view(np.uint64)
+                ), (tier, c)
+            else:
+                assert np.array_equal(av, bv), (tier, c)
+
+    # resume: an immediate re-compaction is a no-op
+    pipe_b.run_from_observed(obs_path, run_id="compact-2")
+    import pyarrow.parquet as pq
+    import glob as _glob
+    runs = {
+        r
+        for f in _glob.glob(os.path.join(wh_b, "_manifest", "*.parquet"))
+        for r in pq.read_table(f)["run_id"].to_pylist()
+    }
+    assert "compact-2" not in runs
