@@ -288,7 +288,7 @@ below for transparency.
 Efficiency {pair832['eff']:.3f} vs the measured pure-CPU host ceiling
 ~0.66 at this pairing.
 
-## Per-stage 8 vs 32 split (measured once, `.scratch/stage_split.py`)
+## Per-stage 8 vs 32 split (measured once, `tools/stage_split.py`)
 
 Warm-run stage metrics from the Spark UI REST API (UI-enabled session, so
 absolute walls sit slightly above the tuned numbers — proportions are the
