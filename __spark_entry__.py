@@ -3,9 +3,17 @@
 ``entry`` runs the flagship grouped time-series reduction on sf0.001;
 ``queries``/``oracle_sql`` expose every implemented operator from
 SURVEY.md §2 (registry in sits_spark.queries, one DuckDB oracle per
-SQL-expressible query) plus the transcript rollup engine itself
-(sits_spark.transcript_queries — grouped pandas-UDF kernels, rows-only
-checks; byte-matched against the single-node oracle in pytest instead).
+SQL-expressible query) plus the transcript rollup engine itself:
+
+- ``transcript_ev_*`` — the engine kernels over a transcript table
+  derived deterministically from the driver's ``events`` view; oracle
+  SQL references ONLY registered views (sandbox-safe), hash-checked.
+- ``transcript_*_ints``/``transcript_pack_meta`` — the same engine path
+  over the deterministic fixture (oracle reads the fixture parquet;
+  needs external file access).
+- ``transcript_tier_1m``/``_agg_*``/``_packed_1h`` — full tiers incl.
+  smoothed floats/Gorilla blobs: rows-only here, byte-matched against
+  the single-node oracle in pytest.
 """
 
 from __future__ import annotations
