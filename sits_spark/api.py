@@ -406,7 +406,8 @@ def accuracy(df: DataFrame, ref_col: str, pred_col: str) -> DataFrame:
             F.try_divide(F.col("n_correct").cast("double"), F.col("n_ref")), 6
         ).alias("prod_acc"),
         F.round(po, 6).alias("overall_acc"),
-        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        # try_divide: a single-class matrix has pe == 1 (kappa undefined)
+        F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
     )
 
 
@@ -554,7 +555,15 @@ def detect_change(
             sd * F.sqrt(F.lit(2.0 * np.pi))
         )
 
-    p = phi(mu_changed, sd_changed) / (phi(mu_changed, sd_changed) + phi(mu_stable, sd_stable))
+    pc, ps = phi(mu_changed, sd_changed), phi(mu_stable, sd_stable)
+    # far outliers underflow BOTH densities to 0 (|z| > ~38): decide by
+    # the nearer mean (squared z-score) instead of dividing 0/0 — which
+    # would raise under ANSI mode and poison the cumulative sum
+    zc = ((v - mu_changed) / sd_changed) ** 2
+    zs = ((v - mu_stable) / sd_stable) ** 2
+    p = F.when(pc + ps > 0, pc / (pc + ps)).otherwise(
+        F.when(zc <= zs, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
     p = F.greatest(F.least(p, F.lit(bwf[1])), F.lit(bwf[0]))
     w = (
         Window.partitionBy(*keys)

@@ -283,7 +283,7 @@ SELECT cls, n_ref, n_pred, n_correct,
        CAST(round(CAST(n_correct AS DOUBLE) / NULLIF(n_ref, 0), 6) AS DOUBLE) AS prod_acc,
        CAST(round(CAST(n_diag AS DOUBLE) / n_total, 6) AS DOUBLE) AS overall_acc,
        CAST(round((CAST(n_diag AS DOUBLE) / n_total - pe_num / (CAST(n_total AS DOUBLE) * n_total))
-            / (1.0 - pe_num / (CAST(n_total AS DOUBLE) * n_total)), 6) AS DOUBLE) AS kappa
+            / NULLIF(1.0 - pe_num / (CAST(n_total AS DOUBLE) * n_total), 0), 6) AS DOUBLE) AS kappa
 FROM per, tot, pe
 """
 

@@ -72,7 +72,12 @@ class ManifestStore:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.path = os.path.join(warehouse, "_manifest")
-        self._max_seq: int | None = None  # single-writer cache
+        # incremental max-seq cache: only files not yet seen are read on
+        # the next commit, so sequences stay correct even when ANOTHER
+        # store instance wrote to the same warehouse in between (e.g. a
+        # second pipeline object), at amortized O(new files) cost
+        self._max_seq = 0
+        self._seen_files: set[str] = set()
 
     def _read_all(self):
         import pyarrow.parquet as pq
@@ -107,17 +112,30 @@ class ManifestStore:
         return {b for b, (_sq, rc) in latest.items() if rc >= 0}
 
     def _next_seq(self) -> int:
-        """Next commit sequence. The directory scan runs ONCE per store
-        instance (the store is the manifest's single writer); later
-        commits increment the cached max — per-group manifest writes stay
-        O(1) instead of re-reading every commit file."""
-        if self._max_seq is None:
-            top = 0
-            for t in self._read_all():
-                col = t.to_pydict().get("seq")
-                if col:
-                    top = max(top, max(s or 0 for s in col))
-            self._max_seq = top
+        """Next commit sequence = 1 + max over all manifest files, with
+        per-file results cached: each file's seq column is read once per
+        store instance, so repeated commits don't re-scan the directory
+        but concurrent-instance commits are still observed."""
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if (
+                    f.endswith(".parquet")
+                    and not f.startswith(".")
+                    and f not in self._seen_files
+                ):
+                    self._seen_files.add(f)
+                    try:
+                        col = pq.read_table(
+                            os.path.join(self.path, f), columns=["seq"]
+                        )["seq"].to_pylist()
+                    except Exception:
+                        col = []  # pre-seq manifest file -> seq 0
+                    if col:
+                        self._max_seq = max(
+                            self._max_seq, max(s or 0 for s in col)
+                        )
         self._max_seq += 1
         return self._max_seq
 
@@ -152,7 +170,11 @@ class ManifestStore:
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.parquet")
         pq.write_table(table, tmp)
         # atomic publish: readers never see a partial manifest file
-        os.rename(tmp, os.path.join(self.path, f"commit-{uuid.uuid4().hex}.parquet"))
+        name = f"commit-{uuid.uuid4().hex}.parquet"
+        os.rename(tmp, os.path.join(self.path, name))
+        # our own file needs no re-read on the next _next_seq scan
+        self._seen_files.add(name)
+        self._max_seq = max(self._max_seq, seq)
 
     def invalidate(
         self, tiers: list[str], buckets: list[int], fingerprint: str, run_id: str

@@ -105,6 +105,71 @@ class RollupPipeline:
                 if os.path.isdir(d):
                     shutil.rmtree(d)
 
+    def _plan_missing(self, tier_names, fp: str, resume: bool) -> list[int]:
+        if not resume:
+            return list(range(self.n_buckets))
+        return sorted(
+            set().union(
+                *(
+                    set(self.store.plan_missing(t, fp, self.n_buckets))
+                    for t in tier_names
+                )
+            )
+        )
+
+    def _split_stats(self, observed, giants: list[str], tiers, with_pack):
+        """Stats DataFrame for one write action over observed slots.
+
+        Giant convs -> per-(conv, chunk) units of work; the common case
+        stays on the cheap whole-conv path. The id list is driver-
+        bounded, so both sides are literal conv_id predicates that push
+        THROUGH the slot aggregation down to the scan (grouping-key
+        filter; plan-asserted in tests) — the giant pass never re-reads
+        the whole table, and neither branch adds a shuffle. One action
+        runs both writes."""
+        if not giants:
+            return fused.fused_write(
+                observed, self.table_path, tiers, self.range_partitions,
+                with_pack=with_pack,
+            )
+        gcol = F.col("conv_id")
+        return fused.fused_write(
+            observed.where(~gcol.isin(giants)),
+            self.table_path, tiers, self.range_partitions,
+            with_pack=with_pack,
+        ).unionByName(
+            chunk_split.fused_write_chunked(
+                observed.where(gcol.isin(giants)),
+                self.table_path, tiers, self.range_partitions,
+                with_pack=with_pack,
+            )
+        )
+
+    def _commit_group(self, stats, group, fp: str, run_id: str, tier_names) -> None:
+        """The shared write-action + manifest protocol: tombstone BEFORE
+        dropping (a kill between the drop and the re-commit must leave
+        these buckets visibly missing, not claiming deleted files;
+        manifest rows supersede by seq) across ALL row_kinds —
+        _drop_bucket_dirs removes every tier's directories, including
+        ones this run won't rewrite (e.g. a with_pack=False rerun over a
+        previously packed table) — then the action, then the commit."""
+        self.store.invalidate(list(TIER_DIRS), group, fp, run_id)
+        self._drop_bucket_dirs(group)
+        # collecting the stats IS the write action; counts feed lineage
+        counts = {
+            (r["tier"], r["bucket"]): r["rows"]
+            for r in stats.groupBy("tier", "bucket")
+            .agg(F.sum("rows").alias("rows"))
+            .collect()
+        }
+        self.store.commit(
+            [
+                (t, b, fp, counts.get((t, b), 0), run_id)
+                for t in tier_names
+                for b in group
+            ]
+        )
+
     def run(
         self,
         input_path: str,
@@ -126,17 +191,7 @@ class RollupPipeline:
         tier_names = ["tier_1m", "agg"] + (["packed_1h"] if with_pack else [])
         out = {t: self.tier_path(t) for t in tier_names}
 
-        if resume:
-            missing = sorted(
-                set().union(
-                    *(
-                        set(self.store.plan_missing(t, fp, self.n_buckets))
-                        for t in tier_names
-                    )
-                )
-            )
-        else:
-            missing = list(range(self.n_buckets))
+        missing = self._plan_missing(tier_names, fp, resume)
         if not missing:
             return out
 
@@ -150,63 +205,10 @@ class RollupPipeline:
             df = raw
             if len(group) != self.n_buckets:
                 df = df.where(mf.bucket_expr().isin(group))
-            if not giants:
-                observed = regularize.observed_slots(df)
-                stats = fused.fused_write(
-                    observed,
-                    self.table_path,
-                    tiers,
-                    self.range_partitions,
-                    with_pack=with_pack,
-                )
-            else:
-                # giant convs -> per-(conv, chunk) units of work; the
-                # common case stays on the cheap whole-conv path. The id
-                # list is driver-bounded, so both sides are literal
-                # conv_id predicates: the giant pass's isin pushes down
-                # to the scan (row-group pruning + early filter) instead
-                # of re-reading the whole table, and neither branch adds
-                # a shuffle; one action runs both writes.
-                gcol = F.col("conv_id")
-                normal = df.where(~gcol.isin(giants))
-                giant = df.where(gcol.isin(giants))
-                stats = fused.fused_write(
-                    regularize.observed_slots(normal),
-                    self.table_path,
-                    tiers,
-                    self.range_partitions,
-                    with_pack=with_pack,
-                ).unionByName(
-                    chunk_split.fused_write_chunked(
-                        regularize.observed_slots(giant),
-                        self.table_path,
-                        tiers,
-                        self.range_partitions,
-                        with_pack=with_pack,
-                    )
-                )
-            # tombstone BEFORE dropping: a kill between the drop and the
-            # re-commit must leave these buckets visibly missing, not
-            # claiming deleted files (manifest rows supersede by seq).
-            # ALL row_kinds — _drop_bucket_dirs removes every tier's
-            # directories, including ones this run won't rewrite (e.g. a
-            # with_pack=False rerun over a previously packed table)
-            self.store.invalidate(list(TIER_DIRS), group, fp, run_id)
-            self._drop_bucket_dirs(group)
-            # collecting the stats IS the write action; counts feed lineage
-            counts = {
-                (r["tier"], r["bucket"]): r["rows"]
-                for r in stats.groupBy("tier", "bucket")
-                .agg(F.sum("rows").alias("rows"))
-                .collect()
-            }
-            self.store.commit(
-                [
-                    (t, b, fp, counts.get((t, b), 0), run_id)
-                    for t in tier_names
-                    for b in group
-                ]
+            stats = self._split_stats(
+                regularize.observed_slots(df), giants, tiers, with_pack
             )
+            self._commit_group(stats, group, fp, run_id, tier_names)
         return out
 
     def run_from_observed(
@@ -233,17 +235,7 @@ class RollupPipeline:
         tier_names = ["tier_1m", "agg"] + (["packed_1h"] if with_pack else [])
         out = {t: self.tier_path(t) for t in tier_names}
 
-        if resume:
-            missing = sorted(
-                set().union(
-                    *(
-                        set(self.store.plan_missing(t, fp, self.n_buckets))
-                        for t in tier_names
-                    )
-                )
-            )
-        else:
-            missing = list(range(self.n_buckets))
+        missing = self._plan_missing(tier_names, fp, resume)
         if not missing:
             return out
 
@@ -254,39 +246,8 @@ class RollupPipeline:
         obs = obs_all
         if len(missing) != self.n_buckets:
             obs = obs.where(mf.bucket_expr().isin(missing))
-        if not giants:
-            stats = fused.fused_write(
-                obs, self.table_path, tiers, self.range_partitions,
-                with_pack=with_pack,
-            )
-        else:
-            gcol = F.col("conv_id")
-            stats = fused.fused_write(
-                obs.where(~gcol.isin(giants)),
-                self.table_path, tiers, self.range_partitions,
-                with_pack=with_pack,
-            ).unionByName(
-                chunk_split.fused_write_chunked(
-                    obs.where(gcol.isin(giants)),
-                    self.table_path, tiers, self.range_partitions,
-                    with_pack=with_pack,
-                )
-            )
-        self.store.invalidate(list(TIER_DIRS), missing, fp, run_id)
-        self._drop_bucket_dirs(missing)
-        counts = {
-            (r["tier"], r["bucket"]): r["rows"]
-            for r in stats.groupBy("tier", "bucket")
-            .agg(F.sum("rows").alias("rows"))
-            .collect()
-        }
-        self.store.commit(
-            [
-                (t, b, fp, counts.get((t, b), 0), run_id)
-                for t in tier_names
-                for b in missing
-            ]
-        )
+        stats = self._split_stats(obs, giants, tiers, with_pack)
+        self._commit_group(stats, missing, fp, run_id, tier_names)
         return out
 
     # driver-side bound on the giant-id list; beyond it only the

@@ -656,6 +656,28 @@ FROM h JOIN c ON h.h = c.h
 """
 
 
+def _shingles(d):
+    """doc_id + exploded distinct 3-gram shingles of pre-split text.
+
+    Guarded for short documents: Spark's sequence(0, size-3) with size<3
+    yields a DESCENDING sequence whose negative/overflow indexes throw
+    under ANSI mode — a <3-word doc must contribute NO shingles (matching
+    the oracle's generate_series(1, len-2) emitting nothing)."""
+    return d.select("doc_id", F.split("text", r"\s+").alias("w")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(w) >= 3 THEN"
+                    " transform(sequence(0, size(w) - 3),"
+                    "   i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+                    " ELSE CAST(array() AS array<string>) END"
+                )
+            )
+        ).alias("s"),
+    )
+
+
 def doc_ngram_jaccard(spark, sf_dir):
     """N-gram Jaccard near-dup detection: word-3-gram shingles, rare
     shingles only (df <= 20 — the standard inverted-index pruning), pairs
@@ -664,19 +686,7 @@ def doc_ngram_jaccard(spark, sf_dir):
     # materialize split(text) ONCE per row: Catalyst does no CSE inside
     # lambda bodies, so indexing the split inline re-tokenizes the document
     # for every shingle (O(len^2) per doc)
-    sh = d.select(
-        "doc_id", F.split("text", r"\s+").alias("w")
-    ).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, size(w) - 3),"
-                    " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
-                )
-            )
-        ).alias("s"),
-    )
+    sh = _shingles(d)
     df_cnt = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(df_cnt.where(F.col("df") <= 20), "s").select("doc_id", "s")
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -743,20 +753,7 @@ def doc_minhash_lsh(spark, sf_dir):
     signatures admitted 48-76% of all pairs (no pruning); 3-gram sets
     discriminate."""
     d = _t(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.split("text", r"\s+").alias("w")
-    ).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, size(w) - 3),"
-                    " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
-                )
-            )
-        ).alias("s"),
-    )
-    h = words.select(
+    h = _shingles(d).select(
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h"),
     )
@@ -1517,18 +1514,7 @@ def doc_simhash(spark, sf_dir):
     word-set signatures near-identical across docs (the word variant
     admitted 16% of all pairs at sf0.1)."""
     d = _t(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.split("text", r"\s+").alias("w")).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, size(w) - 3),"
-                    " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
-                )
-            )
-        ).alias("s"),
-    )
-    h = words.select(
+    h = _shingles(d).select(
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h_hi"),
         F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("h_lo"),

@@ -92,6 +92,11 @@ def get_spark(
             "spark.local.dir",
             os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
         )
-        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.ui.enabled",
+            # UI off by default (bench purity); SPARK_GRAFT_UI=1 enables
+            # it for tools that read stage metrics (tools/stage_split.py)
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
     )
     return builder.getOrCreate()

@@ -112,9 +112,16 @@ def detect_change_stream(
                 sd * np.sqrt(2.0 * np.pi)
             )
 
-        p = phi(mu_changed, sd_changed) / (
-            phi(mu_changed, sd_changed) + phi(mu_stable, sd_stable)
-        )
+        pc, ps = phi(mu_changed, sd_changed), phi(mu_stable, sd_stable)
+        den = pc + ps
+        # far outliers underflow both densities: 0/0 would be NaN, which
+        # np.clip passes through and which poisons the group state
+        # forever — decide by the nearer mean instead
+        zc = ((v - mu_changed) / sd_changed) ** 2
+        zs = ((v - mu_stable) / sd_stable) ** 2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            p = np.where(den > 0, pc / np.where(den > 0, den, 1.0),
+                         np.where(zc <= zs, 1.0, 0.0))
         p = np.clip(p, lo, hi)
         cums = cum + np.cumsum(np.log(p / (1.0 - p)))
         cum = float(cums[-1]) if len(cums) else cum
