@@ -48,9 +48,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # the transcript oracles read the deterministic fixture parquet by
-    # absolute path — make sure it exists before DuckDB runs
-    ensure_fixture()
+    # the fixture-based transcript oracles read the deterministic fixture
+    # parquet by absolute path — make sure it exists before DuckDB runs.
+    # Never let fixture materialization failure (read-only checkout,
+    # sandboxed FS) take down the whole oracle dict: the events-derived
+    # transcript_ev_* oracles need no files at all.
+    try:
+        ensure_fixture()
+    except OSError:
+        pass
     out = {name: sql for name, (_builder, sql) in REGISTRY.items()}
     out.update({name: sql for name, (_builder, sql) in FACADE_REGISTRY.items()})
     out.update(TRANSCRIPT_ORACLES)
