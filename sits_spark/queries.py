@@ -1782,6 +1782,64 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# F0. rolling-hash document fingerprint (round-3; brief's "document
+#     fingerprinting (rolling hash)" literally)
+# ---------------------------------------------------------------------------
+
+_RH_BASE = 131
+_RH_MOD = 1_000_000_007
+
+
+def doc_rolling_fingerprint(spark, sf_dir):
+    """Polynomial rolling-hash fingerprint (Rabin-Karp family): the whole
+    document folded left-to-right as h = (h*B + codepoint) mod M, plus
+    the same hash over the FIRST 64 characters (a prefix chunk id — the
+    content-defined-chunking building block). Pure Catalyst higher-order
+    aggregate, no UDF; acc < M and acc*B + c < 1.4e11 << int64, so the
+    fold is exact integer arithmetic in both engines."""
+    d = _t(spark, sf_dir, "documents")
+
+    def rolling(n_expr: str) -> str:
+        # sequence(1, 0) would be DESCENDING (ANSI index error) -> guard
+        return (
+            f"CASE WHEN length(text) > 0 THEN "
+            f"aggregate(sequence(1, {n_expr}), 0L, (acc, i) -> "
+            f"(acc * {_RH_BASE} + ascii(substring(text, i, 1))) % {_RH_MOD}) "
+            f"ELSE 0L END"
+        )
+
+    return d.select(
+        "doc_id",
+        F.expr(rolling("length(text)")).alias("rh_full"),
+        F.expr(rolling("least(length(text), 64)")).alias("rh_prefix64"),
+        F.length("text").alias("n_chars_exact"),
+    )
+
+
+SQL_DOC_ROLLING_FINGERPRINT = f"""
+SELECT doc_id,
+  CASE WHEN length(text) > 0 THEN
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(1, length(text)),
+                     i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+      (acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD})
+  ELSE 0 END AS rh_full,
+  CASE WHEN length(text) > 0 THEN
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(1, least(length(text), 64)),
+                     i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+      (acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD})
+  ELSE 0 END AS rh_prefix64,
+  length(text) AS n_chars_exact
+FROM documents
+"""
+
+REGISTRY.update(
+    {"doc_rolling_fingerprint": (doc_rolling_fingerprint, SQL_DOC_ROLLING_FINGERPRINT)}
+)
+
+
+# ---------------------------------------------------------------------------
 # F1. mixture model / NNLS unmixing (round-3)
 # ---------------------------------------------------------------------------
 
