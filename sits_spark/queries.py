@@ -1840,6 +1840,64 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# F0b. int8 embedding quantization (round-3; the storage-compression op a
+#      training-data pipeline runs before writing embedding shards)
+# ---------------------------------------------------------------------------
+
+
+def emb_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization: scale = max|v| / 127,
+    q_i = round(v_i / scale) in [-127, 127]; emits the scale and the
+    dequantization error stats (max abs, rmse) — the accept/reject
+    signal for lossy embedding storage. Pure Catalyst array lambdas;
+    rounding is half-away-from-zero in BOTH engines, so q and the error
+    stats replay exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    mx = F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    scale = (mx / F.lit(127.0)).alias("scale")
+    err = (
+        "transform(embedding, x -> abs(CAST(x AS DOUBLE) - "
+        "round(CAST(x AS DOUBLE) / (array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0), 0) "
+        "* (array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)))"
+    )
+    return e.select(
+        "vec_id",
+        _r6(scale).alias("scale"),
+        _r6(F.expr(f"array_max({err})")).alias("max_abs_err"),
+        _r6(
+            F.sqrt(
+                F.expr(f"aggregate({err}, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")
+                / F.size(v)
+            )
+        ).alias("rmse"),
+    )
+
+
+SQL_EMB_QUANTIZE_INT8 = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+  FROM embeddings
+),
+err AS (
+  SELECT vec_id, s,
+         list_transform(v, x -> abs(x - round(x / s) * s)) AS ae,
+         len(v) AS n
+  FROM e
+)
+SELECT vec_id,
+       CAST(round(s, 6) AS DOUBLE) AS scale,
+       CAST(round(list_max(ae), 6) AS DOUBLE) AS max_abs_err,
+       CAST(round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ae),
+            (a, x) -> a + x * x) / n), 6) AS DOUBLE) AS rmse
+FROM err
+"""
+
+REGISTRY.update({"emb_quantize_int8": (emb_quantize_int8, SQL_EMB_QUANTIZE_INT8)})
+
+
+# ---------------------------------------------------------------------------
 # F1. mixture model / NNLS unmixing (round-3)
 # ---------------------------------------------------------------------------
 
