@@ -1782,6 +1782,86 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# F-1. temporal GLCM textures (round-3): the reference's co-occurrence
+#      texture family (src/glcm_fns.cpp, R/sits_texture.R) re-expressed
+#      along the series axis — quantize to 8 levels, lag-1 co-occurrence
+#      matrix per key, then contrast/energy/homogeneity/entropy.
+# ---------------------------------------------------------------------------
+
+_GLCM_LEVELS = 8
+
+
+def ts_glcm_texture(spark, sf_dir):
+    """Temporal GLCM: per user, values min-max quantized to 8 levels,
+    the lag-1 co-occurrence histogram normalized to probabilities, and
+    the four classic Haralick measures. The raster reference computes
+    these over a spatial window (src/glcm_fns.cpp); the series analog
+    uses temporal adjacency in (ts, event_id) order — one window pass +
+    two aggregations, no UDF."""
+    e = _t(spark, sf_dir, "events")
+    ext = e.groupBy("user_id").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    j = e.join(F.broadcast(ext), "user_id")
+    span = F.col("vmax") - F.col("vmin")
+    q = F.when(
+        span > 0,
+        F.least(
+            F.lit(_GLCM_LEVELS - 1),
+            F.floor((F.col("value") - F.col("vmin")) / (span / _GLCM_LEVELS)),
+        ),
+    ).otherwise(F.lit(0)).cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        j.select("user_id", "ts", "event_id", q.alias("qa"))
+        .withColumn("qb", F.lag("qa", -1).over(w))
+        .where(F.col("qb").isNotNull())
+    )
+    cm = pairs.groupBy("user_id", "qa", "qb").agg(F.count(F.lit(1)).alias("n"))
+    tot = cm.groupBy("user_id").agg(F.sum("n").alias("nn"))
+    p = F.col("n").cast("double") / F.col("nn")
+    d = F.abs(F.col("qa") - F.col("qb"))
+    return (
+        cm.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            _r6(F.sum(p * d * d)).alias("glcm_contrast"),
+            _r6(F.sum(p * p)).alias("glcm_energy"),
+            _r6(F.sum(p / (F.lit(1.0) + d))).alias("glcm_homogeneity"),
+            _r6(-F.sum(p * F.log(p))).alias("glcm_entropy"),
+        )
+    )
+
+
+SQL_TS_GLCM_TEXTURE = f"""
+WITH ext AS (SELECT user_id, min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1),
+qv AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         CAST(CASE WHEN vmax > vmin THEN
+           least({_GLCM_LEVELS - 1}, floor((value - vmin) / ((vmax - vmin) / {_GLCM_LEVELS})))
+         ELSE 0 END AS INT) AS qa
+  FROM events e JOIN ext ON e.user_id = ext.user_id
+),
+pairs AS (
+  SELECT user_id, qa,
+         lead(qa) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS qb
+  FROM qv
+),
+cm AS (SELECT user_id, qa, qb, count(*) AS n FROM pairs WHERE qb IS NOT NULL GROUP BY 1, 2, 3),
+tot AS (SELECT user_id, sum(n) AS nn FROM cm GROUP BY 1)
+SELECT cm.user_id,
+  CAST(round(sum((CAST(n AS DOUBLE) / nn) * abs(qa - qb) * abs(qa - qb)), 6) AS DOUBLE) AS glcm_contrast,
+  CAST(round(sum((CAST(n AS DOUBLE) / nn) * (CAST(n AS DOUBLE) / nn)), 6) AS DOUBLE) AS glcm_energy,
+  CAST(round(sum((CAST(n AS DOUBLE) / nn) / (1.0 + abs(qa - qb))), 6) AS DOUBLE) AS glcm_homogeneity,
+  CAST(round(-sum((CAST(n AS DOUBLE) / nn) * ln(CAST(n AS DOUBLE) / nn)), 6) AS DOUBLE) AS glcm_entropy
+FROM cm JOIN tot ON cm.user_id = tot.user_id
+GROUP BY cm.user_id
+"""
+
+REGISTRY.update({"ts_glcm_texture": (ts_glcm_texture, SQL_TS_GLCM_TEXTURE)})
+
+
+# ---------------------------------------------------------------------------
 # F0. rolling-hash document fingerprint (round-3; brief's "document
 #     fingerprinting (rolling hash)" literally)
 # ---------------------------------------------------------------------------
