@@ -1862,6 +1862,73 @@ REGISTRY.update({"ts_glcm_texture": (ts_glcm_texture, SQL_TS_GLCM_TEXTURE)})
 
 
 # ---------------------------------------------------------------------------
+# F-0.5. lag autocorrelation (round-3): the serial-dependence feature a
+#        phenology/seasonality detector starts from (the reference gets
+#        it implicitly through its filters; here it is first-class).
+# ---------------------------------------------------------------------------
+
+
+def ts_autocorr_lags(spark, sf_dir):
+    """Lag-1..3 autocorrelation per key in (ts, event_id) order. Every
+    co-moment (sum x, sum y, sum xy, sum x^2, sum y^2, n) is accumulated
+    as an EXACT decimal (values have a 2-dp domain, products 4-dp), so
+    the correlation computed from them in double is bit-deterministic in
+    any aggregation order — no two-pass mean join needed."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select("user_id", F.col("value").alias("x"), "ts", "event_id")
+    for k in (1, 2, 3):
+        d = d.withColumn(f"y{k}", F.lead("x", k).over(w))
+    xd = F.col("x").cast(_DEC)
+
+    def corr_k(k: int):
+        y = F.col(f"y{k}")
+        yd = y.cast(_DEC)
+        n = F.count(y).cast("double")
+        sx = F.sum(F.when(y.isNotNull(), xd)).cast("double")
+        sy = F.sum(yd).cast("double")
+        sxy = F.sum((xd * yd).cast("decimal(38,8)")).cast("double")
+        sxx = F.sum(F.when(y.isNotNull(), (xd * xd).cast("decimal(38,8)"))).cast("double")
+        syy = F.sum((yd * yd).cast("decimal(38,8)")).cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        return _r6(F.try_divide(num, den)).alias(f"acf_{k}")
+
+    return d.groupBy("user_id").agg(*[corr_k(k) for k in (1, 2, 3)])
+
+
+def _sql_autocorr() -> str:
+    leads = ", ".join(
+        f"lead(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y{k}"
+        for k in (1, 2, 3)
+    )
+    cols = []
+    for k in (1, 2, 3):
+        cols.append(
+            f"""CAST(round(
+  (count(y{k}) * CAST(sum(CAST(CAST(value AS {_DEC}) * CAST(y{k} AS {_DEC}) AS DECIMAL(38,8))) AS DOUBLE)
+     - CAST(sum(CASE WHEN y{k} IS NOT NULL THEN CAST(value AS {_DEC}) END) AS DOUBLE)
+       * CAST(sum(CAST(y{k} AS {_DEC})) AS DOUBLE))
+  / NULLIF(sqrt(count(y{k}) * CAST(sum(CASE WHEN y{k} IS NOT NULL THEN CAST(CAST(value AS {_DEC}) * CAST(value AS {_DEC}) AS DECIMAL(38,8)) END) AS DOUBLE)
+         - CAST(sum(CASE WHEN y{k} IS NOT NULL THEN CAST(value AS {_DEC}) END) AS DOUBLE)
+           * CAST(sum(CASE WHEN y{k} IS NOT NULL THEN CAST(value AS {_DEC}) END) AS DOUBLE))
+    * sqrt(count(y{k}) * CAST(sum(CAST(CAST(y{k} AS {_DEC}) * CAST(y{k} AS {_DEC}) AS DECIMAL(38,8))) AS DOUBLE)
+         - CAST(sum(CAST(y{k} AS {_DEC})) AS DOUBLE) * CAST(sum(CAST(y{k} AS {_DEC})) AS DOUBLE)), 0)
+, 6) AS DOUBLE) AS acf_{k}"""
+        )
+    return f"""
+WITH d AS (SELECT user_id, value, {leads} FROM events)
+SELECT user_id, {", ".join(cols)}
+FROM d GROUP BY user_id
+"""
+
+
+SQL_TS_AUTOCORR_LAGS = _sql_autocorr()
+
+REGISTRY.update({"ts_autocorr_lags": (ts_autocorr_lags, SQL_TS_AUTOCORR_LAGS)})
+
+
+# ---------------------------------------------------------------------------
 # F0. rolling-hash document fingerprint (round-3; brief's "document
 #     fingerprinting (rolling hash)" literally)
 # ---------------------------------------------------------------------------
