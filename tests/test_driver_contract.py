@@ -1,0 +1,32 @@
+"""Driver-contract invariants: the shapes the correctness harness relies
+on (every oracle belongs to a query, names stable, builders callable),
+checked without running Spark."""
+
+import inspect
+
+import __spark_entry__ as entry_mod
+
+
+def test_contract_shapes():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    # every oracle has a query; rows-only queries are the 4 full tiers
+    assert set(o) <= set(q)
+    rows_only = sorted(set(q) - set(o))
+    assert rows_only == [
+        "transcript_agg_1d",
+        "transcript_agg_1h",
+        "transcript_packed_1h",
+        "transcript_tier_1m",
+    ]
+    assert len(o) >= 65
+    for name, sql in o.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+        # sandbox-safe subset: events-derived transcript oracles must not
+        # reference any filesystem path
+        if name.startswith("transcript_ev_"):
+            assert "read_parquet" not in sql, name
+    for name, builder in q.items():
+        assert callable(builder), name
+        params = inspect.signature(builder).parameters
+        assert len(params) == 2, (name, params)
