@@ -30,3 +30,20 @@ def test_contract_shapes():
         assert callable(builder), name
         params = inspect.signature(builder).parameters
         assert len(params) == 2, (name, params)
+
+
+def test_flagship_queries_inside_driver_window():
+    """The correctness harness only verifies the first 50 entries of
+    queries() in insertion order; the flagship transcript-engine and
+    facade oracles must sit inside that window (r3 verdict item #1)."""
+    first50 = list(entry_mod.queries())[:50]
+    flagship = [n for n in first50 if n.startswith("transcript_ev_")]
+    assert len(flagship) == 5, flagship
+    api = [n for n in first50 if n.startswith("api_")]
+    assert len(api) >= 7, api
+    o = entry_mod.oracle_sql()
+    # every slot in the window must be oracle-checkable (no rows-only
+    # entries wasting a verified slot)
+    assert all(n in o for n in first50), [n for n in first50 if n not in o]
+    # queries() and oracle_sql() agree on ordering for the window
+    assert list(o)[:50] == first50
