@@ -594,9 +594,11 @@ def tpch_q3_topk(spark, sf_dir):
     cutoff = F.lit("1995-03-15")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(6,4)")
+    # no broadcast hint on customer: it scales with sf (data-sized); AQE
+    # decides broadcast-vs-shuffle from the filtered size at runtime
     j = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .where(
             (F.col("c_mktsegment") == "BUILDING")
             & (F.col("o_orderdate") < cutoff)
@@ -974,9 +976,19 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 # density ~ bands * n^2 / 2^bits. 100 TB rule: _ANN_BITS scales as
 # log2(n / target_bucket_size) — the knob that keeps buckets O(1) as the
 # corpus grows; bands buys back recall linearly in cost.
+#
+# The sign bits are taken over QUANTIZED embeddings (int(floor(x*1024 +
+# 0.5))): with +-1 planes the dot product is a sum of small integers,
+# exact in float64 under ANY summation order — so a numpy gemm on the
+# Spark side and DuckDB's sequential list_dot_product are guaranteed to
+# agree on every sign, which a float-embedding dot cannot promise. The
+# Spark side computes all 32 bits in ONE mapInArrow matrix multiply into
+# a packed bigint (r3's per-bit Catalyst trees — 32 dots x 64 literals,
+# re-derived on both join sides — were the 2.2x ANN regression).
 _ANN_BANDS = 4
 _ANN_BITS = 8
 _N_PLANES = _ANN_BANDS * _ANN_BITS
+_ANN_QSCALE = 1024
 
 
 def _plane(j: int) -> list[float]:
@@ -992,13 +1004,63 @@ def _plane(j: int) -> list[float]:
     return out
 
 
-def _band_key(band: int):
-    """Spark expression: the 2^bits bucket key of one band."""
-    key = F.lit(0)
-    for k in range(_ANN_BITS):
-        plane = F.array(*[F.lit(v) for v in _plane(band * _ANN_BITS + k)])
-        key = key + (_dot(F.col("embedding"), plane) > 0).cast("int") * F.lit(2**k)
-    return key
+def _packed_lsh_keys(batches):
+    """mapInArrow kernel: all _N_PLANES sign bits per vector in one
+    float64 gemm (quantized values are integral and small, so every
+    partial sum is exact — order-independent, matches the SQL oracle's
+    sequential dot bit-for-bit). Emits the input columns + packed
+    bigint; band b's key is (packed >> b*_ANN_BITS) & (2^_ANN_BITS - 1)."""
+    import numpy as np
+    import pyarrow as pa
+
+    P = np.array([_plane(j) for j in range(_N_PLANES)], dtype=np.float64).T
+    weights = np.uint64(1) << np.arange(_N_PLANES, dtype=np.uint64)
+    for batch in batches:
+        emb = batch.column("embedding")
+        vals = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        E = vals.reshape(len(batch), -1)
+        Q = np.floor(E * _ANN_QSCALE + 0.5)
+        packed = ((Q @ P > 0) * weights).sum(axis=1).astype(np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [*batch.columns, pa.array(packed, type=pa.int64())],
+            names=[*batch.schema.names, "packed"],
+        )
+
+
+def _with_packed(df):
+    """df + packed 32-bit LSH signature, computed once per vector. Apply
+    AFTER any row filter — predicates do not push through mapInArrow."""
+    return df.mapInArrow(
+        _packed_lsh_keys,
+        schema="vec_id long, embedding array<float>, label int, packed long",
+    )
+
+
+def _keyed_embeddings(spark, sf_dir):
+    return _with_packed(_t(spark, sf_dir, "embeddings"))
+
+
+def _bands_frame(keyed):
+    """(vec_id, embedding, band_id, key) long form from a packed frame."""
+    entries = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), _band_key_col(b).alias("key"))
+            for b in range(_ANN_BANDS)
+        ]
+    )
+    return keyed.select(
+        "vec_id", "embedding", F.explode(entries).alias("bk")
+    ).select("vec_id", "embedding", F.col("bk.band_id"), F.col("bk.key"))
+
+
+def _band_key_col(band: int):
+    """band key from the packed signature — pure bit arithmetic."""
+    return F.shiftright(F.col("packed"), band * _ANN_BITS).bitwiseAND(
+        F.lit((1 << _ANN_BITS) - 1)
+    ).cast("int")
+
+
+_SQL_QINT = f"list_transform(embedding::DOUBLE[], x -> floor(x * {_ANN_QSCALE} + 0.5))"
 
 
 def _sql_band_key(band: int) -> str:
@@ -1006,7 +1068,7 @@ def _sql_band_key(band: int) -> str:
     for k in range(_ANN_BITS):
         arr = ", ".join(str(v) for v in _plane(band * _ANN_BITS + k))
         terms.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{arr}]) > 0 THEN 1 ELSE 0 END) * {2**k}"
+            f"(CASE WHEN list_dot_product(qint, [{arr}]) > 0 THEN 1 ELSE 0 END) * {2**k}"
         )
     return " + ".join(terms)
 
@@ -1015,12 +1077,16 @@ def emb_lsh_buckets(spark, sf_dir):
     """Sign-LSH bucketing (random-hyperplane scheme): band 0's 8 sign
     bits -> bucket id. The single-table primitive; the ANN/near-dup
     queries below OR several such tables (banding) for recall."""
-    e = _t(spark, sf_dir, "embeddings")
-    return e.select("vec_id", "label", _band_key(0).alias("bucket"))
+    return _keyed_embeddings(spark, sf_dir).select(
+        "vec_id", "label", _band_key_col(0).alias("bucket")
+    )
 
 
 def _sql_lsh() -> str:
-    return f"SELECT vec_id, label, {_sql_band_key(0)} AS bucket FROM embeddings"
+    return (
+        f"SELECT vec_id, label, {_sql_band_key(0)} AS bucket "
+        f"FROM (SELECT vec_id, label, {_SQL_QINT} AS qint FROM embeddings)"
+    )
 
 
 SQL_EMB_LSH_BUCKETS = _sql_lsh()
@@ -1028,25 +1094,21 @@ SQL_EMB_LSH_BUCKETS = _sql_lsh()
 
 def emb_lsh_bands(spark, sf_dir):
     """(vec_id, band_id, key) long form: each vector appears once per
-    band — the multiple-hash-table layout every banded join keys on."""
-    e = _t(spark, sf_dir, "embeddings")
-    entries = F.array(
-        *[
-            F.struct(F.lit(b).alias("band_id"), _band_key(b).alias("key"))
-            for b in range(_ANN_BANDS)
-        ]
-    )
-    return e.select(
-        "vec_id", "embedding", F.explode(entries).alias("bk")
-    ).select("vec_id", "embedding", F.col("bk.band_id"), F.col("bk.key"))
+    band — the multiple-hash-table layout every banded join keys on.
+    All keys derive from one packed signature column by bit arithmetic."""
+    return _bands_frame(_keyed_embeddings(spark, sf_dir))
 
 
 def _sql_bands() -> str:
     parts = [
-        f"SELECT vec_id, embedding, {b} AS band_id, {_sql_band_key(b)} AS key FROM embeddings"
+        f"SELECT vec_id, embedding, {b} AS band_id, {_sql_band_key(b)} AS key FROM qint_t"
         for b in range(_ANN_BANDS)
     ]
-    return " UNION ALL ".join(parts)
+    u = " UNION ALL ".join(parts)
+    return (
+        f"SELECT * FROM (WITH qint_t AS "
+        f"(SELECT vec_id, embedding, {_SQL_QINT} AS qint FROM embeddings) {u})"
+    )
 
 
 def emb_label_knn_purity(spark, sf_dir):
@@ -1129,14 +1191,16 @@ def emb_ann_lsh_topk(spark, sf_dir):
     log(n) at deployment (see _ANN_BITS note). Recall < exact kNN by
     design; emb_knn_cosine stays as the quality yardstick, floor asserted
     in tests/test_oracle.py."""
-    bands = emb_lsh_bands(spark, sf_dir)
-    q = bands.where(F.col("vec_id") < 10).select(
+    e = _t(spark, sf_dir, "embeddings")
+    # query side: filter BEFORE the Arrow key stage (predicates do not
+    # push through mapInArrow), so its scan + gemm touch only 10 vectors
+    q = _bands_frame(_with_packed(e.where(F.col("vec_id") < 10))).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         "band_id",
         "key",
     )
-    c = bands.select(
+    c = _bands_frame(_with_packed(e)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
         "band_id",
@@ -1799,10 +1863,13 @@ def ts_glcm_texture(spark, sf_dir):
     uses temporal adjacency in (ts, event_id) order — one window pass +
     two aggregations, no UDF."""
     e = _t(spark, sf_dir, "events")
-    ext = e.groupBy("user_id").agg(
-        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    # per-user extent as an unbounded window over the SAME user_id
+    # partitioning the lag pass needs — one shuffle, no join, and no
+    # data-sized broadcast (ext is one row per user: unbounded at scale)
+    wu = Window.partitionBy("user_id")
+    j = e.withColumn("vmin", F.min("value").over(wu)).withColumn(
+        "vmax", F.max("value").over(wu)
     )
-    j = e.join(F.broadcast(ext), "user_id")
     span = F.col("vmax") - F.col("vmin")
     q = F.when(
         span > 0,

@@ -31,12 +31,13 @@ def test_candidate_pairs_bounded(vectors):
     candidate set stays ~bands * n^2 / 2^bits, not n^2."""
     _, V = vectors
     n = len(V)
+    Q = np.floor(V * queries._ANN_QSCALE + 0.5)
     pairs = set()
     for b in range(queries._ANN_BANDS):
         key = np.zeros(n, dtype=np.int64)
         for k in range(queries._ANN_BITS):
             p = np.array(queries._plane(b * queries._ANN_BITS + k))
-            key += (V @ p > 0).astype(np.int64) << k
+            key += (Q @ p > 0).astype(np.int64) << k
         order = np.argsort(key)
         for g in np.split(order, np.flatnonzero(np.diff(key[order])) + 1):
             for i in range(len(g)):
