@@ -42,6 +42,7 @@ it is a full scan, so throughput benchmarks use one group).
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 
@@ -121,26 +122,38 @@ class RollupPipeline:
         """Stats DataFrame for one write action over observed slots.
 
         Giant convs -> per-(conv, chunk) units of work; the common case
-        stays on the cheap whole-conv path. The id list is driver-
-        bounded, so both sides are literal conv_id predicates that push
-        THROUGH the slot aggregation down to the scan (grouping-key
-        filter; plan-asserted in tests) — the giant pass never re-reads
-        the whole table, and neither branch adds a shuffle. One action
-        runs both writes."""
+        stays on the cheap whole-conv path. Up to ``GIANT_ISIN_MAX`` ids
+        both sides are literal conv_id predicates that push THROUGH the
+        slot aggregation down to the scan (grouping-key filter;
+        plan-asserted in tests) — the giant pass never re-reads the whole
+        table, and neither branch adds a shuffle. Above that, literal In
+        lists bloat the plan and parquet filter evaluation, so the split
+        becomes a broadcast semi-/anti-join against the (bounded,
+        driver-held) giant-id table — still no extra shuffle, at the cost
+        of scan pushdown. One action runs both writes."""
         if not giants:
             return fused.fused_write(
                 observed, self.table_path, tiers, self.range_partitions,
                 with_pack=with_pack,
             )
-        gcol = F.col("conv_id")
+        if len(giants) <= self.GIANT_ISIN_MAX:
+            gcol = F.col("conv_id")
+            common = observed.where(~gcol.isin(giants))
+            giant = observed.where(gcol.isin(giants))
+        else:
+            gdf = F.broadcast(
+                self.spark.createDataFrame(
+                    [(g,) for g in giants], "conv_id string"
+                )
+            )
+            common = observed.join(gdf, "conv_id", "left_anti")
+            giant = observed.join(gdf, "conv_id", "left_semi")
         return fused.fused_write(
-            observed.where(~gcol.isin(giants)),
-            self.table_path, tiers, self.range_partitions,
+            common, self.table_path, tiers, self.range_partitions,
             with_pack=with_pack,
         ).unionByName(
             chunk_split.fused_write_chunked(
-                observed.where(gcol.isin(giants)),
-                self.table_path, tiers, self.range_partitions,
+                giant, self.table_path, tiers, self.range_partitions,
                 with_pack=with_pack,
             )
         )
@@ -254,6 +267,9 @@ class RollupPipeline:
     # worst (longest-span) conversations are split — the rest stay on
     # the whole-conv path, which is always correct, just less parallel
     MAX_GIANTS = 100_000
+    # above this many giant ids, the split switches from literal isin
+    # pushdown to a broadcast semi-/anti-join (see _split_stats)
+    GIANT_ISIN_MAX = 1_000
 
     def _giant_convs(self, raw: DataFrame, fp: str) -> list[str]:
         """conv_ids spanning more than ``giant_span_chunks`` chunks, as a
@@ -299,6 +315,14 @@ class RollupPipeline:
         for f in os.listdir(path):
             if f.endswith(".parquet"):
                 ids += pq.read_table(os.path.join(path, f))["conv_id"].to_pylist()
+        if len(ids) >= self.MAX_GIANTS:
+            # the limit truncated the list: convs past the cap silently
+            # take the whole-conv path, so the skew guarantee degrades
+            logging.getLogger(__name__).warning(
+                "giant-conv list hit MAX_GIANTS=%d; longest-span convs "
+                "beyond the cap fall back to the whole-conv path",
+                self.MAX_GIANTS,
+            )
         return sorted(ids)
 
     # -- readers ---------------------------------------------------------

@@ -234,6 +234,29 @@ def test_giant_pass_filter_reaches_scan(spark, input_path, tmp_path_factory):
     assert "In(conv_id" in pushed, pushed
 
 
+def test_giant_split_joins_above_isin_cap(spark, input_path, golden, tmp_path_factory):
+    """Above GIANT_ISIN_MAX ids the split must switch from literal isin
+    predicates (plan/codegen bloat at 100k literals) to a broadcast
+    semi-/anti-join — and the output must stay byte-identical."""
+    wh = str(tmp_path_factory.mktemp("whj") / "tiers")
+    pipe = RollupPipeline(spark, wh, giant_span_chunks=0)
+    pipe.GIANT_ISIN_MAX = 0  # force the join regime for every giant list
+    raw = spark.read.parquet(input_path)
+    giants = pipe._giant_convs(raw, mf.input_fingerprint(input_path))
+    assert giants  # threshold 0 makes every multi-chunk conv a giant
+    from sits_spark.operators import regularize as reg
+
+    stats = pipe._split_stats(
+        reg.observed_slots(raw), giants, ("1h", "1d"), with_pack=True
+    )
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan and "LeftAnti" in plan
+    assert "In(conv_id" not in plan
+    pipe.run(input_path, run_id="run-j")
+    got = _spark_tier(spark, wh, "tier_1m").toPandas()
+    assert_frames_bitexact(got, golden["tier_1m"], ["conv_id", "slot_start"])
+
+
 def test_multi_flush_write_byte_identical(spark, input_path, golden, tmp_path_factory):
     """Force the incremental writer through MANY flushes per task (tiny
     thresholds passed through the plan closure): the multi-file tier
