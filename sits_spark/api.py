@@ -48,6 +48,9 @@ __all__ = [
     "accuracy",
     "clean",
     "reclassify",
+    "classify",
+    "LinearSoftmaxModel",
+    "validate_kfold",
     "predictors",
     "sample",
     "stratified_sample",
@@ -466,6 +469,141 @@ def reclassify(
     fallback = F.lit(default) if default is not None else F.col(col)
     expr = fallback if expr is None else expr.otherwise(fallback)
     return df.withColumn(out_col or col, expr)
+
+
+# ------------------------------------------------------------- classify
+
+
+class LinearSoftmaxModel:
+    """Deterministic linear->softmax classifier closure for ``classify``.
+
+    The accumulation order is pinned (left-to-right over features, then
+    over classes in the log-sum-exp) so the float64 result is
+    bit-identical to a SQL expression chain ``bias + w1*f1 + w2*f2 ...``
+    — the property the DuckDB oracle (api_classify_probs) hashes
+    against. Any object with ``classes`` and ``predict_proba`` works as
+    a model; this one is the reference fixture (the reference's model
+    zoo lives in R/api_ml_model.R — torch/ranger closures out of scope
+    in this container, the closure protocol is the parity surface).
+    """
+
+    def __init__(
+        self,
+        classes: Sequence[str],
+        weights: Sequence[Sequence[float]],
+        bias: Sequence[float],
+    ) -> None:
+        self.classes = list(classes)
+        self.weights = [list(w) for w in weights]
+        self.bias = list(bias)
+
+    def logits(self, X: np.ndarray) -> np.ndarray:
+        cols = []
+        for ci in range(len(self.classes)):
+            acc = np.full(len(X), float(self.bias[ci]))
+            for j, w in enumerate(self.weights[ci]):
+                acc = acc + float(w) * X[:, j]
+            cols.append(acc)
+        return np.stack(cols, axis=1)
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        L = self.logits(X)
+        m = L.max(axis=1, keepdims=True)
+        s = np.zeros(len(X))
+        for ci in range(L.shape[1]):
+            s = s + np.exp(L[:, ci] - m[:, 0])
+        return np.exp(L - m - np.log(s)[:, None])
+
+
+def classify(
+    df: DataFrame,
+    model,
+    feature_cols: Sequence[str],
+    out_prefix: str = "p_",
+    label_col: str | None = "predicted",
+    batch_rows: int = 65_536,
+) -> DataFrame:
+    """Generic batch inference over a predictors-wide frame — the
+    reference's headline verb (sits_classify,
+    /root/reference/R/sits_classify.R:85; the per-block closure
+    application is R/api_classify.R:145-150). ``model`` is any picklable
+    object exposing ``classes`` and ``predict_proba(X: (n, f) float64)
+    -> (n, k)``; it ships to executors inside the mapInPandas closure
+    and scores Arrow batches — the Spark-native analog of the
+    reference's chunked block inference, no per-row Python. Feature
+    values must be non-null (fill upstream; the reference imputes in its
+    predictor pipeline too). Adds one probability column per class and,
+    when ``label_col`` is set, the argmax label (first class wins ties,
+    matching which.max)."""
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    classes = list(model.classes)
+    feature_cols = list(feature_cols)
+    fields = list(df.schema.fields) + [
+        StructField(f"{out_prefix}{c}", DoubleType()) for c in classes
+    ]
+    if label_col:
+        fields.append(StructField(label_col, StringType()))
+    schema = StructType(fields)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                part = pdf.iloc[lo : lo + batch_rows]
+                X = part[feature_cols].to_numpy(dtype=np.float64)
+                P = model.predict_proba(X)
+                out = part.copy()
+                for ci, c in enumerate(classes):
+                    out[f"{out_prefix}{c}"] = np.round(P[:, ci], 6)
+                if label_col:
+                    out[label_col] = [classes[i] for i in np.argmax(P, axis=1)]
+                yield out
+
+    return df.mapInPandas(score, schema=schema)
+
+
+def validate_kfold(
+    df: DataFrame,
+    k: int,
+    key_cols: Sequence[str],
+    fit: Callable[[pd.DataFrame], object],
+    feature_cols: Sequence[str],
+    label_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """k-fold cross-validation over a predictors frame (sits_kfold_validate,
+    /root/reference/R/sits_validate.R): folds are assigned by a
+    deterministic hash of the key columns (reproducible without a
+    shuffle), each fold's model is fitted driver-side on the training
+    split (predictor frames are sample-sized in the reference too, not
+    cube-sized), then scored distributed via ``classify``. Returns one
+    row per fold with accuracy."""
+    hashed = F.abs(F.hash(*[F.col(c) for c in key_cols], F.lit(salt)))
+    folded = df.withColumn("_fold", (hashed % k).cast("int"))
+    folded.persist()
+    try:
+        results = []
+        for fold in range(k):
+            train = folded.where(F.col("_fold") != fold).toPandas()
+            model = fit(train)
+            scored = classify(
+                folded.where(F.col("_fold") == fold),
+                model,
+                feature_cols,
+                label_col="_pred",
+            )
+            agg = scored.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("_pred") == F.col(label_col)).cast("long")).alias("hits"),
+            ).collect()[0]
+            results.append((fold, agg["n"], agg["hits"]))
+    finally:
+        folded.unpersist()
+    spark = df.sparkSession
+    out = spark.createDataFrame(results, "fold int, n long, hits long")
+    return out.withColumn(
+        "accuracy", F.round(F.col("hits") / F.col("n"), 6)
+    )
 
 
 # ----------------------------------------------------------- predictors

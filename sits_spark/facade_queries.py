@@ -288,7 +288,82 @@ FROM per, tot, pe
 """
 
 
+_CLS_TYPES = ["click", "view", "purchase", "signup", "error"]
+_CLS_CLASSES = ["low", "mid", "high"]
+# binary-exact literals (multiples of 1/64): the float chain is then
+# bit-identical between the numpy closure and the SQL expression
+_CLS_W = [
+    [0.5, -0.25, 0.125, 0.0625, -0.5],
+    [-0.125, 0.375, -0.0625, 0.25, 0.125],
+    [0.25, 0.0625, 0.5, -0.375, 0.25],
+]
+_CLS_B = [0.125, -0.0625, 0.03125]
+
+
+def api_classify_probs(spark, sf_dir):
+    """predictors -> classify: the reference's headline path
+    (sits_classify, R/sits_classify.R:85; per-block closure application
+    R/api_classify.R:145-150). Per-user mean value per event type as the
+    wide feature frame, scored by a fixed linear-softmax model closure
+    via mapInPandas; probabilities + argmax label, hash-checked against
+    the closed-form SQL scoring of the same weights."""
+    e = _events(spark, sf_dir)
+    feats = [f"f_{t}" for t in _CLS_TYPES]
+    wide = api.predictors(
+        e, ["user_id"], "event_type", "value", _CLS_TYPES, prefix="f_"
+    ).fillna(0.0, subset=feats)
+    model = api.LinearSoftmaxModel(_CLS_CLASSES, _CLS_W, _CLS_B)
+    scored = api.classify(wide, model, feats)
+    return scored.select(
+        "user_id", "p_low", "p_mid", "p_high", "predicted"
+    )
+
+
+def _sql_classify() -> str:
+    mean_cells = ",\n  ".join(
+        f"coalesce(CAST(round(CAST(sum(CASE WHEN event_type = '{t}' THEN CAST(value AS {_DEC}) END) AS DOUBLE)"
+        f" / count(CASE WHEN event_type = '{t}' THEN value END), 6) AS DOUBLE), 0.0) AS f_{t}"
+        for t in _CLS_TYPES
+    )
+    logits = ",\n  ".join(
+        f"{_CLS_B[ci]!r} + "
+        + " + ".join(
+            f"{_CLS_W[ci][j]!r} * f_{t}" for j, t in enumerate(_CLS_TYPES)
+        )
+        + f" AS l_{c}"
+        for ci, c in enumerate(_CLS_CLASSES)
+    )
+    lse = " + ".join(f"exp(l_{c} - m)" for c in _CLS_CLASSES)
+    probs = ",\n  ".join(
+        f"CAST(round(exp(l_{c} - m - ln({lse})), 6) AS DOUBLE) AS p_{c}"
+        for c in _CLS_CLASSES
+    )
+    return f"""
+WITH feat AS (
+  SELECT user_id,
+  {mean_cells}
+  FROM events GROUP BY user_id
+),
+lg AS (
+  SELECT user_id,
+  {logits}
+  FROM feat
+),
+lm AS (SELECT *, greatest(l_low, l_mid, l_high) AS m FROM lg)
+SELECT user_id,
+  {probs},
+  CASE WHEN l_low >= l_mid AND l_low >= l_high THEN 'low'
+       WHEN l_mid >= l_high THEN 'mid'
+       ELSE 'high' END AS predicted
+FROM lm
+"""
+
+
+SQL_API_CLASSIFY_PROBS = _sql_classify()
+
+
 FACADE_REGISTRY: dict[str, tuple] = {
+    "api_classify_probs": (api_classify_probs, SQL_API_CLASSIFY_PROBS),
     "api_accuracy_kappa": (api_accuracy_kappa, SQL_API_ACCURACY_KAPPA),
     "api_clean_modal": (api_clean_modal, SQL_API_CLEAN_MODAL),
     "api_verbs_chain": (api_verbs_chain, SQL_API_VERBS_CHAIN),

@@ -242,3 +242,45 @@ def test_accuracy_kappa_known_matrix(spark):
     ).collect()}
     assert got2["c"].n_pred == 0 and got2["c"].n_correct == 0
     assert got2["c"].user_acc is None
+
+
+def test_classify_matches_numpy(spark):
+    """classify (sits_classify analog) vs a direct numpy scoring of the
+    same model on the same feature matrix."""
+    rng = np.random.RandomState(11)
+    X = np.round(rng.randn(40, 3), 4)
+    rows = [(i, float(a), float(b), float(c)) for i, (a, b, c) in enumerate(X)]
+    df = spark.createDataFrame(rows, "id int, f1 double, f2 double, f3 double")
+    model = api.LinearSoftmaxModel(
+        ["x", "y"], [[0.5, -0.25, 0.125], [-0.125, 0.375, 0.0625]], [0.25, -0.5]
+    )
+    got = (
+        api.classify(df, model, ["f1", "f2", "f3"])
+        .orderBy("id")
+        .toPandas()
+    )
+    P = model.predict_proba(X)
+    assert np.array_equal(got[["p_x", "p_y"]].to_numpy(), np.round(P, 6))
+    want_lbl = [["x", "y"][i] for i in np.argmax(P, axis=1)]
+    assert got["predicted"].tolist() == want_lbl
+    # probabilities sum to ~1 and schema keeps every input column
+    assert np.allclose(P.sum(axis=1), 1.0)
+    assert got.columns.tolist() == ["id", "f1", "f2", "f3", "p_x", "p_y", "predicted"]
+
+
+def test_validate_kfold_separable(spark):
+    """k-fold validation on a linearly separable frame: every fold's
+    accuracy is 1.0 with a fixed (pre-solved) model and folds cover
+    every row exactly once."""
+    rows = [(i, 1.0 if i % 2 else -1.0, "pos" if i % 2 else "neg") for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, f double, label string")
+
+    def fit(_train_pdf):
+        return api.LinearSoftmaxModel(["neg", "pos"], [[-2.0], [2.0]], [0.0, 0.0])
+
+    got = api.validate_kfold(
+        df, 3, ["id"], fit, ["f"], "label"
+    ).orderBy("fold").collect()
+    assert [r.fold for r in got] == [0, 1, 2]
+    assert sum(r.n for r in got) == 30
+    assert all(r.accuracy == 1.0 for r in got)
