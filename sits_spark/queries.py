@@ -2221,6 +2221,174 @@ SQL_EMB_MIXTURE_NNLS = _sql_mixture()
 REGISTRY.update({"emb_mixture_nnls": (emb_mixture_nnls, SQL_EMB_MIXTURE_NNLS)})
 
 
+# --- k = 3 endmembers: exact NNLS by KKT subset enumeration ---------------
+
+_EM_C = [(1.0 if i % 4 == 0 else -0.5) for i in range(64)]
+
+
+def _nnls3_gram() -> dict[str, float]:
+    ems = {"1": _EM_A, "2": _EM_B, "3": _EM_C}
+    g = {}
+    for i in "123":
+        for j in "123":
+            if i <= j:
+                g[f"a{i}{j}"] = float(
+                    sum(x * y for x, y in zip(ems[i], ems[j]))
+                )
+    return g
+
+
+def _nnls3_stage_fragments() -> tuple[list[str], list[str], list[str]]:
+    """Shared SQL expression text for the k=3 NNLS KKT enumeration.
+
+    The reference solves arbitrary-k NNLS with an iterative active-set
+    solver (/root/reference/src/nnls_solver.cpp:10-124). For k = 3 the
+    optimum can be found EXACTLY by enumerating the 2^3 passive subsets:
+    solve each subset's unconstrained normal equations (closed form via
+    precomputed inverse cofactors), keep the first subset that is primal
+    feasible (x >= 0) AND dual feasible (clamped gradients <= 0) — in
+    exact arithmetic that is the unique NNLS optimum, no iteration. Both
+    engines evaluate the SAME expression text (Spark via selectExpr,
+    DuckDB verbatim), so every float op happens in the same order and
+    the hashes match bit-for-bit.
+
+    Returns (candidate_frags, selection_frags, output_frags).
+    """
+    g = _nnls3_gram()
+    a11, a12, a13 = g["a11"], g["a12"], g["a13"]
+    a22, a23, a33 = g["a22"], g["a23"], g["a33"]
+    det3 = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    # inverse(A) * det3 cofactors (symmetric)
+    c11, c12, c13 = a22 * a33 - a23 * a23, a13 * a23 - a12 * a33, a12 * a23 - a13 * a22
+    c22, c23, c33 = a11 * a33 - a13 * a13, a12 * a13 - a11 * a23, a11 * a22 - a12 * a12
+    d12 = a11 * a22 - a12 * a12
+    d13 = a11 * a33 - a13 * a13
+    d23 = a22 * a33 - a23 * a23
+    cand = [
+        # full passive set {1,2,3}
+        f"({c11!r} * b1 + {c12!r} * b2 + {c13!r} * b3) / {det3!r} AS x1f",
+        f"({c12!r} * b1 + {c22!r} * b2 + {c23!r} * b3) / {det3!r} AS x2f",
+        f"({c13!r} * b1 + {c23!r} * b2 + {c33!r} * b3) / {det3!r} AS x3f",
+        # pairs
+        f"({a22!r} * b1 - {a12!r} * b2) / {d12!r} AS x1p12",
+        f"({a11!r} * b2 - {a12!r} * b1) / {d12!r} AS x2p12",
+        f"({a33!r} * b1 - {a13!r} * b3) / {d13!r} AS x1p13",
+        f"({a11!r} * b3 - {a13!r} * b1) / {d13!r} AS x3p13",
+        f"({a33!r} * b2 - {a23!r} * b3) / {d23!r} AS x2p23",
+        f"({a22!r} * b3 - {a23!r} * b2) / {d23!r} AS x3p23",
+        # singles
+        f"b1 / {a11!r} AS x1s",
+        f"b2 / {a22!r} AS x2s",
+        f"b3 / {a33!r} AS x3s",
+    ]
+    ok = {
+        "ok123": "x1f >= 0 AND x2f >= 0 AND x3f >= 0",
+        "ok12": (
+            "x1p12 >= 0 AND x2p12 >= 0 AND "
+            f"(b3 - ({a13!r} * x1p12 + {a23!r} * x2p12)) <= 0"
+        ),
+        "ok13": (
+            "x1p13 >= 0 AND x3p13 >= 0 AND "
+            f"(b2 - ({a12!r} * x1p13 + {a23!r} * x3p13)) <= 0"
+        ),
+        "ok23": (
+            "x2p23 >= 0 AND x3p23 >= 0 AND "
+            f"(b1 - ({a12!r} * x2p23 + {a13!r} * x3p23)) <= 0"
+        ),
+        "ok1": (
+            f"x1s >= 0 AND (b2 - {a12!r} * x1s) <= 0 AND (b3 - {a13!r} * x1s) <= 0"
+        ),
+        "ok2": (
+            f"x2s >= 0 AND (b1 - {a12!r} * x2s) <= 0 AND (b3 - {a23!r} * x2s) <= 0"
+        ),
+        "ok3": (
+            f"x3s >= 0 AND (b1 - {a13!r} * x3s) <= 0 AND (b2 - {a23!r} * x3s) <= 0"
+        ),
+    }
+
+    def pick(vals: dict[str, str]) -> str:
+        # subset order: full, pairs, singles, empty — first feasible wins
+        arms = "".join(
+            f"WHEN {ok[k]} THEN {vals.get(k, '0.0')} "
+            for k in ("ok123", "ok12", "ok13", "ok23", "ok1", "ok2", "ok3")
+        )
+        return f"CASE {arms}ELSE 0.0 END"
+
+    sel = [
+        pick({"ok123": "x1f", "ok12": "x1p12", "ok13": "x1p13", "ok1": "x1s"})
+        + " AS x1",
+        pick({"ok123": "x2f", "ok12": "x2p12", "ok23": "x2p23", "ok2": "x2s"})
+        + " AS x2",
+        pick({"ok123": "x3f", "ok13": "x3p13", "ok23": "x3p23", "ok3": "x3s"})
+        + " AS x3",
+    ]
+    r2 = (
+        "vv - 2.0 * (x1 * b1 + x2 * b2 + x3 * b3) + "
+        f"(x1 * x1 * {a11!r} + x2 * x2 * {a22!r} + x3 * x3 * {a33!r} + "
+        f"2.0 * (x1 * x2 * {a12!r} + x1 * x3 * {a13!r} + x2 * x3 * {a23!r}))"
+    )
+    out = [
+        "CAST(round(x1, 6) AS DOUBLE) AS frac_a",
+        "CAST(round(x2, 6) AS DOUBLE) AS frac_b",
+        "CAST(round(x3, 6) AS DOUBLE) AS frac_c",
+        f"CAST(round(sqrt(greatest(CAST(round({r2}, 6) AS DOUBLE), 0.0) / 64.0), 6)"
+        " AS DOUBLE) AS rmse",
+    ]
+    return cand, sel, out
+
+
+def emb_mixture_nnls_k3(spark, sf_dir):
+    """NNLS unmixing with k = 3 endmembers — the full non-trivial case of
+    the reference's active-set solver
+    (/root/reference/src/nnls_solver.cpp:10-124), solved EXACTLY by KKT
+    subset enumeration (see _nnls3_stage_fragments). Everything past the
+    three endmember dot products is shared expression text evaluated by
+    both engines, so the oracle is hash-exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    ems = [_EM_A, _EM_B, _EM_C]
+    dots = [
+        _dot(v, F.array(*[F.lit(x) for x in em])).alias(f"b{i + 1}")
+        for i, em in enumerate(ems)
+    ]
+    d = e.select("vec_id", *dots, _dot(v, v).alias("vv"))
+    cand, sel, out = _nnls3_stage_fragments()
+    u = d.selectExpr("vec_id", "b1", "b2", "b3", "vv", *cand)
+    s = u.selectExpr("vec_id", "b1", "b2", "b3", "vv", *sel)
+    return s.selectExpr("vec_id", *out)
+
+
+def _sql_mixture_k3() -> str:
+    cand, sel, out = _nnls3_stage_fragments()
+    arrs = [", ".join(str(v) for v in em) for em in (_EM_A, _EM_B, _EM_C)]
+    dot_cols = ",\n    ".join(
+        f"list_dot_product(embedding::DOUBLE[], [{a}]) AS b{i + 1}"
+        for i, a in enumerate(arrs)
+    )
+    return f"""
+WITH d AS (
+  SELECT vec_id,
+    {dot_cols},
+    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+  FROM embeddings
+),
+u AS (SELECT vec_id, b1, b2, b3, vv, {", ".join(cand)} FROM d),
+s AS (SELECT vec_id, b1, b2, b3, vv, {", ".join(sel)} FROM u)
+SELECT vec_id, {", ".join(out)} FROM s
+"""
+
+
+SQL_EMB_MIXTURE_NNLS_K3 = _sql_mixture_k3()
+
+REGISTRY.update(
+    {"emb_mixture_nnls_k3": (emb_mixture_nnls_k3, SQL_EMB_MIXTURE_NNLS_K3)}
+)
+
+
 # ---------------------------------------------------------------------------
 # F2. DTW pattern-based change detection (round-3)
 # ---------------------------------------------------------------------------

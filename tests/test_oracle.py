@@ -116,3 +116,38 @@ def test_packed_roundtrip_bit_exact():
         )
         joined += 1
     assert joined == len(packed) > 0
+
+
+def test_nnls_k3_is_true_optimum(spark):
+    SF_DIR = "/root/testdata/sf0.01"
+    """The KKT subset enumeration must return the genuine NNLS optimum:
+    cross-check against an independent projected-gradient solve run to
+    convergence, and assert the clamping branches are actually hit."""
+    import duckdb as _dd
+    import numpy as np
+
+    from sits_spark import queries as q
+
+    got = (
+        q.emb_mixture_nnls_k3(spark, SF_DIR)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    emb = _dd.sql(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchnumpy()
+    V = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    E = np.stack([q._EM_A, q._EM_B, q._EM_C]).T  # 64 x 3
+    A = E.T @ E
+    L = np.linalg.eigvalsh(A).max()
+    for i, vid in enumerate(emb["vec_id"][:100]):
+        b = E.T @ V[i]
+        x = np.zeros(3)
+        for _ in range(20000):  # projected gradient, step 1/L
+            x = np.maximum(0.0, x - (A @ x - b) / L)
+        row = got[got.vec_id == vid].iloc[0]
+        want = np.array([row.frac_a, row.frac_b, row.frac_c])
+        assert np.allclose(want, x, atol=1e-4), (vid, want, x)
+    fr = got[["frac_a", "frac_b", "frac_c"]].to_numpy()
+    assert (fr == 0.0).any(axis=1).sum() > 0  # clamping exercised
+    assert (fr > 0).all(axis=1).sum() > 0     # interior solutions too
