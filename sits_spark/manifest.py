@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 MANIFEST_SCHEMA = (
     "tier string, bucket int, input_fingerprint string, row_count long, "
-    "run_id string, seq long"
+    "run_id string, seq long, gen string"
 )
 
 # Resume/commit granularity (Iceberg bucket(conv_id) stand-in). Since the
@@ -67,10 +67,22 @@ class ManifestStore:
 
     Manifest rows are driver-side metadata (one row per committed conv
     bucket), so reads/writes go through pyarrow directly — zero Spark
-    jobs. The layout stays plain parquet, readable by Spark/DuckDB."""
+    jobs. The layout stays plain parquet, readable by Spark/DuckDB.
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    Writer discipline: ONE writer per warehouse at a time (the driver of
+    the running pipeline). Concurrent readers are always safe (files are
+    immutable once published); concurrent WRITERS from separate store
+    instances can allocate the same seq (scan-then-increment is not
+    locked), which the equal-seq tie-breaker below resolves
+    deterministically by preferring the tombstone — conservative: the
+    bucket reads as missing and gets recomputed rather than serving
+    possibly-mixed output."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, storage=None):
+        from .storage import LocalFsStorage
+
         self.spark = spark
+        self.storage = storage or LocalFsStorage()
         self.path = os.path.join(warehouse, "_manifest")
         # incremental max-seq cache: only files not yet seen are read on
         # the next commit, so sequences stay correct even when ANOTHER
@@ -94,22 +106,58 @@ class ManifestStore:
         """Buckets whose LATEST manifest row (max seq) is a live commit.
 
         A tombstone (row_count == -1) written by ``invalidate`` before a
-        bucket's directories are dropped supersedes earlier commits, so a
-        run killed between the drop and the re-commit leaves the bucket
-        visibly missing instead of silently claiming deleted files."""
-        latest: dict[int, tuple[int, int]] = {}
+        bucket is rewritten supersedes earlier commits, so a run killed
+        between the invalidate and the re-commit leaves the bucket
+        visibly missing instead of silently claiming a half-written
+        generation. Equal seq (possible only under the unsupported
+        concurrent-writer case) resolves to the tombstone."""
+        return {
+            b
+            for b, (_sq, rc, _gen) in self._latest(tier, fingerprint).items()
+            if rc >= 0
+        }
+
+    def _latest(
+        self, tier: str, fingerprint: str | None
+    ) -> dict[int, tuple[int, int, str]]:
+        """Latest (seq, row_count, gen) per bucket for a tier; with
+        ``fingerprint=None`` rows of every fingerprint compete (the read
+        path: newest commit wins regardless of input version)."""
+        latest: dict[int, tuple[int, int, str]] = {}
         for t in self._read_all():
             d = t.to_pydict()
-            seqs = d.get("seq") or [0] * len(d["tier"])
-            for tt, b, fpv, rc, sq in zip(
-                d["tier"], d["bucket"], d["input_fingerprint"], d["row_count"], seqs
+            n = len(d["tier"])
+            seqs = d.get("seq") or [0] * n
+            gens = d.get("gen") or [""] * n
+            for tt, b, fpv, rc, sq, gen in zip(
+                d["tier"], d["bucket"], d["input_fingerprint"], d["row_count"],
+                seqs, gens,
             ):
-                if tt != tier or fpv != fingerprint:
+                if tt != tier:
+                    continue
+                if fingerprint is not None and fpv != fingerprint:
                     continue
                 sq = sq or 0
-                if b not in latest or sq >= latest[b][0]:
-                    latest[b] = (sq, rc)
-        return {b for b, (_sq, rc) in latest.items() if rc >= 0}
+                cur = latest.get(b)
+                if (
+                    cur is None
+                    or sq > cur[0]
+                    # equal-seq tie: tombstone wins, deterministically
+                    or (sq == cur[0] and rc < 0)
+                ):
+                    latest[b] = (sq, rc, gen or "")
+        return latest
+
+    def live_generations(self, tier: str) -> dict[int, str]:
+        """bucket -> generation token of its newest LIVE commit (any
+        fingerprint) — what the manifest-driven read path serves. A ""
+        generation (pre-gen manifests) means "every file in the bucket
+        directory belongs"."""
+        return {
+            b: gen
+            for b, (_sq, rc, gen) in self._latest(tier, None).items()
+            if rc >= 0
+        }
 
     def _next_seq(self) -> int:
         """Next commit sequence = 1 + max over all manifest files, with
@@ -140,12 +188,18 @@ class ManifestStore:
         return self._max_seq
 
     def commit(
-        self, rows: list[tuple[str, int, str, int, str]], seq: int | None = None
+        self,
+        rows: list[tuple[str, int, str, int, str]],
+        seq: int | None = None,
+        gen: str = "",
     ) -> None:
-        self._write_rows(rows, seq)
+        self._write_rows(rows, seq, gen)
 
     def _write_rows(
-        self, rows: list[tuple[str, int, str, int, str]], seq: int | None = None
+        self,
+        rows: list[tuple[str, int, str, int, str]],
+        seq: int | None = None,
+        gen: str = "",
     ) -> None:
         if not rows:
             return
@@ -154,7 +208,6 @@ class ManifestStore:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        os.makedirs(self.path, exist_ok=True)
         if seq is None:
             seq = self._next_seq()
         table = pa.table(
@@ -165,13 +218,17 @@ class ManifestStore:
                 "row_count": pa.array([r[3] for r in rows], pa.int64()),
                 "run_id": [r[4] for r in rows],
                 "seq": pa.array([seq] * len(rows), pa.int64()),
+                "gen": [gen] * len(rows),
             }
         )
-        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.parquet")
-        pq.write_table(table, tmp)
-        # atomic publish: readers never see a partial manifest file
+        sink = pa.BufferOutputStream()
+        pq.write_table(table, sink)
+        # atomic single-object publish (PUT semantics): readers never see
+        # a partial manifest file on any backend
         name = f"commit-{uuid.uuid4().hex}.parquet"
-        os.rename(tmp, os.path.join(self.path, name))
+        self.storage.put_atomic(
+            os.path.join(self.path, name), sink.getvalue().to_pybytes()
+        )
         # our own file needs no re-read on the next _next_seq scan
         self._seen_files.add(name)
         self._max_seq = max(self._max_seq, seq)
@@ -179,8 +236,8 @@ class ManifestStore:
     def invalidate(
         self, tiers: list[str], buckets: list[int], fingerprint: str, run_id: str
     ) -> None:
-        """Tombstone (tier, bucket) rows under ``fingerprint`` BEFORE their
-        directories are rewritten (row_count = -1, superseding seq)."""
+        """Tombstone (tier, bucket) rows under ``fingerprint`` BEFORE they
+        are rewritten (row_count = -1, superseding seq)."""
         self._write_rows(
             [(t, b, fingerprint, -1, run_id) for t in tiers for b in buckets]
         )

@@ -388,6 +388,7 @@ def fused_write_chunked(
     tiers: tuple[str, ...] = ("1h", "1d"),
     partitions: int | None = None,
     with_pack: bool = True,
+    gen: str = "",
 ) -> DataFrame:
     """Observed slots of GIANT conversations -> the same partitioned tier
     table ``fused.fused_write`` produces, but with (conv, chunk) as the
@@ -409,7 +410,7 @@ def fused_write_chunked(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        writer = PartitionedWriter(table_path, pid, label="g")
+        writer = PartitionedWriter(table_path, pid, label="g", gen=gen)
         for tbl in arrow_conv_batches(it, key="gkey"):
             for lo, hi in _iter_groups(tbl):
                 _emit_group_tiers(writer, tbl, lo, hi, tiers, with_pack)

@@ -234,7 +234,11 @@ class PartitionedWriter:
     so a sequential task retry overwrites the same files with the same
     content (the input split and kernel stream are deterministic).
     ``label`` disambiguates independent write jobs targeting the same
-    table (e.g. the normal and giant-conv passes)."""
+    table (e.g. the normal and giant-conv passes); ``gen`` is the write
+    action's generation token — unique per action, fixed at plan build,
+    so names are unique ACROSS actions (no cross-run overwrite; stale
+    generations stay invisible to manifest-driven readers and are
+    reclaimed by vacuum) yet deterministic WITHIN one (retry-safe)."""
 
     def __init__(
         self,
@@ -243,13 +247,14 @@ class PartitionedWriter:
         label: str = "n",
         flush_rows: int | None = None,
         flush_bytes: int | None = None,
+        gen: str = "",
     ):
         import pyarrow.dataset as pads
 
         self._pads = pads
         self.table_path = table_path
         self.pid = pid
-        self.label = label
+        self.label = f"g{gen}-{label}" if gen else label
         self.flush_rows = flush_rows or FLUSH_ROWS
         self.flush_bytes = flush_bytes or FLUSH_BYTES
         self._acc: dict[str, list[pa.RecordBatch]] = {}
@@ -334,13 +339,15 @@ def _write_iter(
     with_pack: bool,
     flush_rows: int | None = None,
     flush_bytes: int | None = None,
+    gen: str = "",
 ):
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         writer = PartitionedWriter(
-            table_path, pid, flush_rows=flush_rows, flush_bytes=flush_bytes
+            table_path, pid, flush_rows=flush_rows, flush_bytes=flush_bytes,
+            gen=gen,
         )
         for kind, data, n in _tier_stream(it, tiers, with_pack):
             writer.add(kind, data, n)
@@ -357,6 +364,7 @@ def fused_write(
     with_pack: bool = True,
     flush_rows: int | None = None,
     flush_bytes: int | None = None,
+    gen: str = "",
 ) -> DataFrame:
     """Observed 1-minute slots -> partitioned tier table on disk.
 
@@ -369,7 +377,7 @@ def fused_write(
     RETRY (same name, same content); enforced here rather than assumed."""
     require_no_speculation(observed.sparkSession)
     return _cluster(observed, partitions).mapInArrow(
-        _write_iter(table_path, tiers, with_pack, flush_rows, flush_bytes),
+        _write_iter(table_path, tiers, with_pack, flush_rows, flush_bytes, gen),
         STATS_SCHEMA,
     )
 

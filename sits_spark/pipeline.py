@@ -44,13 +44,13 @@ from __future__ import annotations
 
 import logging
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import engine_core
 from . import manifest as mf
+from . import storage as store_mod
 from .operators import chunk_split, fused, regularize
 
 TIER_DIRS = {
@@ -74,6 +74,7 @@ class RollupPipeline:
         n_buckets: int = mf.N_BUCKETS,
         range_partitions: int | None = None,
         giant_span_chunks: int | None = 2,
+        storage=None,
     ):
         """``giant_span_chunks``: conversations spanning more than this
         many 8-day chunks are routed through the cross-task chunked
@@ -89,22 +90,11 @@ class RollupPipeline:
         )
         self.giant_span_chunks = giant_span_chunks
         self.table_path = os.path.join(warehouse, "tiers")
-        self.store = mf.ManifestStore(spark, warehouse)
+        self.storage = storage or store_mod.LocalFsStorage()
+        self.store = mf.ManifestStore(spark, warehouse, storage=self.storage)
 
     def tier_path(self, tier: str) -> str:
         return os.path.join(self.table_path, TIER_DIRS[tier])
-
-    def _drop_bucket_dirs(self, buckets: list[int]) -> None:
-        """Remove a recomputed bucket's directories across all row_kinds
-        BEFORE rewriting it: dynamic partition overwrite only replaces the
-        (bucket, day) partitions the new write touches, so a prior
-        generation covering more days would otherwise leave stale day=
-        directories behind (mixed-generation reads)."""
-        for rk in TIER_DIRS.values():
-            for b in buckets:
-                d = os.path.join(self.table_path, rk, f"bucket={b}")
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
 
     def _plan_missing(self, tier_names, fp: str, resume: bool) -> list[int]:
         if not resume:
@@ -118,7 +108,7 @@ class RollupPipeline:
             )
         )
 
-    def _split_stats(self, observed, giants: list[str], tiers, with_pack):
+    def _split_stats(self, observed, giants: list[str], tiers, with_pack, gen=""):
         """Stats DataFrame for one write action over observed slots.
 
         Giant convs -> per-(conv, chunk) units of work; the common case
@@ -134,7 +124,7 @@ class RollupPipeline:
         if not giants:
             return fused.fused_write(
                 observed, self.table_path, tiers, self.range_partitions,
-                with_pack=with_pack,
+                with_pack=with_pack, gen=gen,
             )
         if len(giants) <= self.GIANT_ISIN_MAX:
             gcol = F.col("conv_id")
@@ -150,24 +140,30 @@ class RollupPipeline:
             giant = observed.join(gdf, "conv_id", "left_semi")
         return fused.fused_write(
             common, self.table_path, tiers, self.range_partitions,
-            with_pack=with_pack,
+            with_pack=with_pack, gen=gen,
         ).unionByName(
             chunk_split.fused_write_chunked(
                 giant, self.table_path, tiers, self.range_partitions,
-                with_pack=with_pack,
+                with_pack=with_pack, gen=gen,
             )
         )
 
-    def _commit_group(self, stats, group, fp: str, run_id: str, tier_names) -> None:
-        """The shared write-action + manifest protocol: tombstone BEFORE
-        dropping (a kill between the drop and the re-commit must leave
-        these buckets visibly missing, not claiming deleted files;
-        manifest rows supersede by seq) across ALL row_kinds —
-        _drop_bucket_dirs removes every tier's directories, including
-        ones this run won't rewrite (e.g. a with_pack=False rerun over a
-        previously packed table) — then the action, then the commit."""
+    def _commit_group(
+        self, stats, group, fp: str, run_id: str, tier_names, gen: str
+    ) -> None:
+        """The shared write-action + manifest protocol, rename-free and
+        object-store-safe: tombstone the group across ALL row_kinds (a
+        kill between here and the commit leaves the buckets visibly
+        missing rather than claiming a half-written generation; manifest
+        rows supersede by seq, including tiers this run won't rewrite,
+        e.g. a with_pack=False rerun over a previously packed table),
+        then run the write action — files land under UNIQUE
+        generation-tagged names, old generations untouched — then flip
+        visibility by committing the new generation. Readers resolve
+        files through the manifest (read_tier), so no physical delete or
+        rename ever happens in the hot path; stale generations are
+        reclaimed by ``vacuum``."""
         self.store.invalidate(list(TIER_DIRS), group, fp, run_id)
-        self._drop_bucket_dirs(group)
         # collecting the stats IS the write action; counts feed lineage
         counts = {
             (r["tier"], r["bucket"]): r["rows"]
@@ -180,7 +176,8 @@ class RollupPipeline:
                 (t, b, fp, counts.get((t, b), 0), run_id)
                 for t in tier_names
                 for b in group
-            ]
+            ],
+            gen=gen,
         )
 
     def run(
@@ -218,10 +215,11 @@ class RollupPipeline:
             df = raw
             if len(group) != self.n_buckets:
                 df = df.where(mf.bucket_expr().isin(group))
+            gen = store_mod.new_generation()
             stats = self._split_stats(
-                regularize.observed_slots(df), giants, tiers, with_pack
+                regularize.observed_slots(df), giants, tiers, with_pack, gen
             )
-            self._commit_group(stats, group, fp, run_id, tier_names)
+            self._commit_group(stats, group, fp, run_id, tier_names, gen)
         return out
 
     def run_from_observed(
@@ -259,8 +257,9 @@ class RollupPipeline:
         obs = obs_all
         if len(missing) != self.n_buckets:
             obs = obs.where(mf.bucket_expr().isin(missing))
-        stats = self._split_stats(obs, giants, tiers, with_pack)
-        self._commit_group(stats, missing, fp, run_id, tier_names)
+        gen = store_mod.new_generation()
+        stats = self._split_stats(obs, giants, tiers, with_pack, gen)
+        self._commit_group(stats, missing, fp, run_id, tier_names, gen)
         return out
 
     # driver-side bound on the giant-id list; beyond it only the
@@ -291,14 +290,11 @@ class RollupPipeline:
         path = os.path.join(
             self.warehouse, f"_giants-{fp}-c{self.giant_span_chunks}"
         )
-        if not os.path.isdir(path):
+        if not self.storage.exists(path):
+            import pyarrow as pa
+
             ts_s = F.col("ts").cast("timestamp").cast("long")
-            # write to a temp dir and rename into place: a run killed
-            # mid-write must not leave a partial directory that later
-            # runs would read as "no giants" (silently losing the split)
-            tmp = path + ".tmp"
-            shutil.rmtree(tmp, ignore_errors=True)
-            (
+            rows = (
                 raw.select("conv_id", ts_s.alias("s"))
                 .groupBy("conv_id")
                 .agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
@@ -306,15 +302,17 @@ class RollupPipeline:
                 .orderBy((F.col("hi") - F.col("lo")).desc(), "conv_id")
                 .limit(self.MAX_GIANTS)
                 .select("conv_id")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
+                .collect()
             )
-            os.rename(tmp, path)
-        ids: list[str] = []
-        for f in os.listdir(path):
-            if f.endswith(".parquet"):
-                ids += pq.read_table(os.path.join(path, f))["conv_id"].to_pylist()
+            # the list is driver-bounded (<= MAX_GIANTS), so it publishes
+            # as ONE atomic object put — no temp dir, no rename: a run
+            # killed mid-write leaves nothing behind that a later run
+            # could misread as "no giants"
+            table = pa.table({"conv_id": [r["conv_id"] for r in rows]})
+            sink = pa.BufferOutputStream()
+            pq.write_table(table, sink)
+            self.storage.put_atomic(path, sink.getvalue().to_pybytes())
+        ids: list[str] = pq.read_table(path)["conv_id"].to_pylist()
         if len(ids) >= self.MAX_GIANTS:
             # the limit truncated the list: convs past the cap silently
             # take the whole-conv path, so the skew guarantee degrades
@@ -327,10 +325,76 @@ class RollupPipeline:
 
     # -- readers ---------------------------------------------------------
 
+    def _live_files(self, tier: str) -> list[str] | None:
+        """Data files of each bucket's committed generation, resolved
+        through the manifest (the Iceberg read model: the catalog — not
+        the directory listing — decides what a snapshot contains). A ""
+        generation (pre-gen manifest rows) accepts every file in the
+        bucket. Returns None when the manifest has no rows for the tier
+        (out-of-band tables): callers fall back to a plain directory
+        read."""
+        gens = self.store.live_generations(tier)
+        if not gens:
+            return None
+        root = self.tier_path(tier)
+        files: list[str] = []
+        for b, gen in gens.items():
+            prefix = os.path.join(root, f"bucket={b}")
+            tag = f"part-g{gen}-"
+            for f in self.storage.list_files(prefix):
+                if not gen or os.path.basename(f).startswith(tag):
+                    files.append(f)
+        return files
+
     def read_tier(self, tier: str) -> DataFrame:
         """One tier, projected to its column set (the slot/agg/pack files
-        share the union schema; untouched columns are never read)."""
-        return self.spark.read.parquet(self.tier_path(tier)).select(*TIER_COLS[tier])
+        share the union schema; untouched columns are never read). Files
+        are resolved through the manifest so stale generations from
+        superseded commits are invisible without any physical delete."""
+        files = self._live_files(tier)
+        if files is None:
+            return self.spark.read.parquet(self.tier_path(tier)).select(
+                *TIER_COLS[tier]
+            )
+        if not files:
+            # zero committed rows: empty frame with the tier's schema
+            import pyarrow as pa
+
+            kind = {v: k for k, v in fused.TIER_OF_KIND.items()}[tier]
+            pa_schema = pa.schema(
+                list(fused._KIND_PA[kind])
+                + [pa.field("bucket", pa.int32()), pa.field("day", pa.date32())]
+            )
+            empty = pa.table(
+                {f.name: pa.array([], type=f.type) for f in pa_schema}
+            )
+            return self.spark.createDataFrame(empty).select(*TIER_COLS[tier])
+        return (
+            self.spark.read.option("basePath", self.table_path)
+            .parquet(*files)
+            .select(*TIER_COLS[tier])
+        )
 
     def read_agg(self, tier: str) -> DataFrame:
         return self.read_tier("agg").where(F.col("tier") == tier)
+
+    def vacuum(self) -> int:
+        """Delete data files that no live generation owns (superseded or
+        never-committed writes) — the Iceberg expire-snapshots analog.
+        Never required for correctness (readers are manifest-driven);
+        run out-of-band to reclaim space. Returns files deleted."""
+        deleted = 0
+        for tier, rk in TIER_DIRS.items():
+            gens = self.store.live_generations(tier)
+            root = os.path.join(self.table_path, rk)
+            for f in self.storage.list_files(root):
+                bucket = None
+                for part in f.split(os.sep):
+                    if part.startswith("bucket="):
+                        bucket = int(part.split("=", 1)[1])
+                gen = gens.get(bucket)
+                base = os.path.basename(f)
+                if gen is None or (gen and not base.startswith(f"part-g{gen}-")):
+                    self.storage.delete_file(f)
+                    deleted += 1
+        return deleted

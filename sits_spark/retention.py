@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import shutil
 
 from pyspark.sql import SparkSession
 
@@ -65,12 +64,20 @@ def tier_watermark(tier_path: str) -> dt.date | None:
 
 
 def expire_tier(
-    tier_path: str, keep_days: int, watermark: dt.date | None = None
+    tier_path: str,
+    keep_days: int,
+    watermark: dt.date | None = None,
+    storage=None,
 ) -> list[str]:
     """Delete day partitions older than ``watermark - keep_days``.
 
-    Returns the deleted partition paths. Deletion is per-directory —
-    partition-predicate drop, no data rewrite."""
+    Returns the deleted partition paths. Deletion is a partition-
+    predicate drop (no data rewrite), routed through the storage backend
+    — a prefix delete, i.e. list + per-object DELETE on an object
+    store."""
+    from .storage import LocalFsStorage
+
+    storage = storage or LocalFsStorage()
     parts = _day_partitions(tier_path)
     if not parts:
         return []
@@ -79,7 +86,7 @@ def expire_tier(
     deleted = []
     for path, day in parts:
         if day < cutoff:
-            shutil.rmtree(path)
+            storage.delete_prefix(path)
             deleted.append(path)
     return deleted
 

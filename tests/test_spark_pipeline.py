@@ -127,11 +127,11 @@ def test_resume_after_kill_is_byte_identical(spark, input_path, golden, tmp_path
     calls = {"n": 0}
     real_commit = pipe.store.commit
 
-    def flaky_commit(rows):
+    def flaky_commit(rows, **kw):
         calls["n"] += 1
         if calls["n"] == 2:
             raise RuntimeError("injected kill between checkpoint groups")
-        real_commit(rows)
+        real_commit(rows, **kw)
 
     pipe.store.commit = flaky_commit
     with pytest.raises(RuntimeError, match="injected kill"):
@@ -281,3 +281,48 @@ def test_multi_flush_write_byte_identical(spark, input_path, golden, tmp_path_fa
     files = glob.glob(os.path.join(table, "row_kind=slot", "**", "*.parquet"), recursive=True)
     flush_ids = {os.path.basename(f).split("-")[2] for f in files}
     assert len(flush_ids) > 1, flush_ids
+
+
+def test_object_store_backend_rename_free(
+    spark, input_path, golden, tmp_path_factory, monkeypatch
+):
+    """Full pipeline on the object-store backend with os.rename and
+    shutil.rmtree forbidden (r3 verdict #8): generation-tagged files +
+    manifest-only visibility flips must produce byte-identical tiers,
+    keep stale generations invisible after a forced recompute, and let
+    vacuum reclaim them."""
+    import shutil as _sh
+
+    from sits_spark.storage import ObjectStoreStorage
+
+    def _no_rename(*a, **k):
+        raise AssertionError("os.rename used on object-store backend")
+
+    def _no_rmtree(*a, **k):
+        raise AssertionError("shutil.rmtree used on object-store backend")
+
+    monkeypatch.setattr(os, "rename", _no_rename)
+    monkeypatch.setattr(os, "renames", _no_rename)
+    monkeypatch.setattr(_sh, "rmtree", _no_rmtree)
+
+    wh = str(tmp_path_factory.mktemp("whos") / "tiers")
+    pipe = RollupPipeline(spark, wh, storage=ObjectStoreStorage())
+    pipe.run(input_path, run_id="os-1")
+    got = pipe.read_tier("tier_1m").toPandas()
+    assert_frames_bitexact(got, golden["tier_1m"], ["conv_id", "slot_start"])
+
+    # forced recompute writes a SECOND generation into the same bucket
+    # dirs; the manifest serves only the new one — no delete, no rename
+    pipe.run(input_path, run_id="os-2", resume=False)
+    got2 = pipe.read_tier("tier_1m").toPandas()
+    assert_frames_bitexact(got2, golden["tier_1m"], ["conv_id", "slot_start"])
+    all_files = pipe.storage.list_files(pipe.tier_path("tier_1m"))
+    live = pipe._live_files("tier_1m")
+    assert len(all_files) > len(live)  # stale generation still on disk
+
+    # vacuum reclaims exactly the stale generation; reads unchanged
+    deleted = pipe.vacuum()
+    assert deleted > 0
+    assert sorted(pipe.storage.list_files(pipe.tier_path("tier_1m"))) == sorted(live)
+    got3 = pipe.read_tier("tier_1m").toPandas()
+    assert_frames_bitexact(got3, golden["tier_1m"], ["conv_id", "slot_start"])
