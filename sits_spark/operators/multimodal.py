@@ -127,6 +127,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    # header fields are untrusted: channels=0 would make reshape(-1, 0)
+    # raise an opaque ValueError, and a data chunk that is not a whole
+    # number of frames would silently truncate or crash in frombuffer
+    if not channels or channels < 1:
+        raise ValueError(f"WAV fmt chunk declares invalid channels={channels}")
+    if len(data) % (2 * channels):
+        raise ValueError(
+            f"WAV data chunk length {len(data)} is not a multiple of "
+            f"frame size {2 * channels} (16-bit x {channels}ch)"
+        )
     samples = np.frombuffer(data, dtype="<i2")
     return samples.reshape(-1, channels), rate
 

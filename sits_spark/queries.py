@@ -2068,12 +2068,22 @@ def emb_quantize_int8(spark, sf_dir):
     stats replay exactly."""
     e = _t(spark, sf_dir, "embeddings")
     v = F.col("embedding")
-    mx = F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    # greatest(., 1e-30) guards the all-zero vector: scale 0 would make
+    # x / scale NaN/Inf, where Spark and DuckDB float-division semantics
+    # (and hence the oracle hash) can differ; with the clamp a zero
+    # vector quantizes to all-zero with zero error in both engines
+    mx = F.expr(
+        "greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30)"
+    )
     scale = (mx / F.lit(127.0)).alias("scale")
+    _s = (
+        "(greatest(array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30)"
+        " / 127.0)"
+    )
     err = (
         "transform(embedding, x -> abs(CAST(x AS DOUBLE) - "
-        "round(CAST(x AS DOUBLE) / (array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0), 0) "
-        "* (array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)))"
+        f"round(CAST(x AS DOUBLE) / {_s}, 0) "
+        f"* {_s}))"
     )
     return e.select(
         "vec_id",
@@ -2091,7 +2101,7 @@ def emb_quantize_int8(spark, sf_dir):
 SQL_EMB_QUANTIZE_INT8 = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
-         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+         greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30) / 127.0 AS s
   FROM embeddings
 ),
 err AS (

@@ -78,6 +78,7 @@ def detect_change_stream(
     sd_changed: float,
     bwf: tuple[float, float] = (0.1, 0.9),
     tau: float = 2.0,
+    order_by: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Streaming bayts change detection — the custom STATEFUL operator
     (SURVEY.md §2.9 ``applyInPandasWithState`` row; batch semantics in
@@ -93,6 +94,11 @@ def detect_change_stream(
     ~1e-15 of tau could flip) — agreement asserted stream-vs-batch on
     clamped inputs in tests."""
     lo, hi = bwf
+    # mirror the batch operator's FULL ordering tuple (api.detect_change
+    # orders by e.g. (ts, event_id)): sorting on ts alone lets rows with
+    # equal timestamps accumulate log-odds in a different order and flag
+    # a different first row than batch
+    sort_cols = list(order_by) if order_by else [ts_col]
     out_schema = (
         f"{key_col} string, cum_llr double, flagged boolean, first_flag_ts long"
     )
@@ -103,7 +109,7 @@ def detect_change_stream(
             state.get if state.exists else (0.0, False, None)
         )
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(ts_col, kind="mergesort")
+        rows = rows.sort_values(sort_cols, kind="mergesort")
         v = rows[value_col].to_numpy(dtype=np.float64)
         ts = rows[ts_col].to_numpy(dtype=np.int64)
 
