@@ -100,6 +100,7 @@ _PRIORITY: list[str] = [
     "doc_text_quality",
     "emb_ann_lsh_topk",
     "emb_mixture_nnls_k3",
+    "emb_smote_minority",
     "emb_knn_cosine",
 ]
 

@@ -54,6 +54,7 @@ __all__ = [
     "predictors",
     "sample",
     "stratified_sample",
+    "smote",
     "detect_change",
     "detect_change_dtw",
 ]
@@ -662,6 +663,68 @@ def stratified_sample(
         gate = F.when(F.col(label_col) == lbl, F.lit(int(fr * 65536))).otherwise(gate)
     h = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(65536))
     return df.where(h < gate)
+
+
+def smote(
+    df: DataFrame,
+    label_col: str,
+    feature_col: str,
+    id_col: str,
+    minority: object,
+    n_per: int = 1,
+    u: float = 0.5,
+) -> DataFrame:
+    """SMOTE minority oversampling (reference sits_smote,
+    /root/reference/R/api_smote.R + R/sits_sample_functions.R):
+    each minority sample is interpolated toward its nearest in-class
+    neighbors, ``s = x + u * (y - x)``, producing ``n_per`` synthetic
+    rows per sample (neighbor ranks 1..n_per by (L2 distance, id) — a
+    total order, so results are deterministic; classic SMOTE draws the
+    neighbor and u at random, this engine pins both for replayability).
+
+    Scale design: the minority class is by definition small, so the
+    neighbor search is a minority x minority self-join with the right
+    side broadcast — never an all-pairs join over the full table.
+    Returns the original frame plus synthetic rows flagged
+    ``synthetic=true`` (synthetic ids are ``<base>~<rank>``)."""
+    m = df.where(F.col(label_col) == minority).select(
+        F.col(id_col).alias("_ida"), F.col(feature_col).alias("_va"),
+        F.col(label_col).alias("_lbl"),
+    )
+    nbr = F.broadcast(
+        m.select(F.col("_ida").alias("_idb"), F.col("_va").alias("_vb"))
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    va, vb = F.col("_va"), F.col("_vb")
+    d2 = dot(va, va) - 2.0 * dot(va, vb) + dot(vb, vb)
+    w = Window.partitionBy("_ida").orderBy(F.asc("_d2"), F.asc("_idb"))
+    pairs = (
+        m.join(nbr, F.col("_ida") != F.col("_idb"))
+        .withColumn("_d2", d2)
+        .withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= n_per)
+    )
+    synth = pairs.select(
+        F.concat_ws("~", F.col("_ida"), F.col("_rank")).alias(id_col),
+        F.col("_lbl").alias(label_col),
+        F.zip_with(
+            va, vb,
+            lambda x, y: x.cast("double")
+            + F.lit(u) * (y.cast("double") - x.cast("double")),
+        ).alias(feature_col),
+        F.lit(True).alias("synthetic"),
+    )
+    base = df.select(
+        F.col(id_col).cast("string").alias(id_col),
+        label_col,
+        F.col(feature_col).cast("array<double>").alias(feature_col),
+        F.lit(False).alias("synthetic"),
+    )
+    return base.unionByName(synth)
 
 
 # --------------------------------------------------------- change detect

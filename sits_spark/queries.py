@@ -2399,6 +2399,52 @@ REGISTRY.update(
 )
 
 
+def emb_smote_minority(spark, sf_dir):
+    """SMOTE oversampling through the api.smote verb (reference
+    sits_smote, /root/reference/R/api_smote.R): synthesize 2 rows per
+    label-5 sample at the deterministic midpoint toward its 2 nearest
+    in-class neighbors; emits per-synthetic scalars (first two dims +
+    L2 norm) the DuckDB oracle replays exactly."""
+    from . import api
+
+    e = _t(spark, sf_dir, "embeddings")
+    aug = api.smote(e, "label", "embedding", "vec_id", minority=5, n_per=2)
+    f = F.col("embedding")
+    return aug.where(F.col("synthetic")).select(
+        F.col("vec_id").alias("synth_id"),
+        _r6(F.element_at(f, 1)).alias("s0"),
+        _r6(F.element_at(f, 2)).alias("s1"),
+        _r6(F.sqrt(_dot(f, f))).alias("s_norm"),
+    )
+
+
+SQL_EMB_SMOTE_MINORITY = """
+WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE label = 5),
+p AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb, a.v AS va, b.v AS vb,
+         list_dot_product(a.v, a.v) - 2.0 * list_dot_product(a.v, b.v)
+           + list_dot_product(b.v, b.v) AS d2
+  FROM m a JOIN m b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY ida ORDER BY d2 ASC, idb ASC) AS rnk
+  FROM p
+),
+s AS (
+  SELECT ida, rnk,
+         list_transform(list_zip(va, vb), q -> q[1] + 0.5 * (q[2] - q[1])) AS sv
+  FROM r WHERE rnk <= 2
+)
+SELECT concat(ida, '~', rnk) AS synth_id,
+       CAST(round(sv[1], 6) AS DOUBLE) AS s0,
+       CAST(round(sv[2], 6) AS DOUBLE) AS s1,
+       CAST(round(sqrt(list_dot_product(sv, sv)), 6) AS DOUBLE) AS s_norm
+FROM s
+"""
+
+REGISTRY.update({"emb_smote_minority": (emb_smote_minority, SQL_EMB_SMOTE_MINORITY)})
+
+
 # ---------------------------------------------------------------------------
 # F2. DTW pattern-based change detection (round-3)
 # ---------------------------------------------------------------------------

@@ -284,3 +284,26 @@ def test_validate_kfold_separable(spark):
     assert [r.fold for r in got] == [0, 1, 2]
     assert sum(r.n for r in got) == 30
     assert all(r.accuracy == 1.0 for r in got)
+
+
+def test_smote_interpolates_midpoint(spark):
+    """Synthetic rows sit exactly at u of the way to the chosen neighbor,
+    neighbors are the true nearest by (L2, id), originals unchanged."""
+    rows = [
+        (1, "m", [0.0, 0.0]),
+        (2, "m", [1.0, 0.0]),
+        (3, "m", [0.0, 4.0]),
+        (4, "M", [9.0, 9.0]),
+    ]
+    df = spark.createDataFrame(rows, "id int, lbl string, v array<double>")
+    got = api.smote(df, "lbl", "v", "id", minority="m", n_per=1, u=0.5)
+    pdf = got.toPandas()
+    assert len(pdf) == 4 + 3
+    syn = {r.id: list(r.v) for r in got.where("synthetic").collect()}
+    # 1's nearest is 2 ([1,0]); 2's nearest is 1; 3's nearest is 1
+    assert syn["1~1"] == [0.5, 0.0]
+    assert syn["2~1"] == [0.5, 0.0]
+    assert syn["3~1"] == [0.0, 2.0]
+    assert all(r.lbl == "m" for r in got.where("synthetic").collect())
+    # majority class never synthesized, originals intact
+    assert set(pdf[~pdf.synthetic]["id"]) == {"1", "2", "3", "4"}
