@@ -101,6 +101,7 @@ _PRIORITY: list[str] = [
     "emb_ann_lsh_topk",
     "emb_mixture_nnls_k3",
     "emb_smote_minority",
+    "emb_som_quality",
     "emb_knn_cosine",
 ]
 

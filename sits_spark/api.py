@@ -55,6 +55,9 @@ __all__ = [
     "sample",
     "stratified_sample",
     "smote",
+    "som_train",
+    "som_map",
+    "som_clean",
     "detect_change",
     "detect_change_dtw",
 ]
@@ -725,6 +728,124 @@ def smote(
         F.lit(False).alias("synthetic"),
     )
     return base.unionByName(synth)
+
+
+# ---------------------------------------------------------------- som
+
+
+def som_train(
+    X: np.ndarray,
+    grid: tuple[int, int] = (4, 4),
+    epochs: int = 5,
+) -> np.ndarray:
+    """Deterministic batch-SOM training (reference Kohonen SOM,
+    /root/reference/src/kohonen_som.cpp:1-834; entry R/api_som.R).
+
+    Batch (not online) updates so the result is order-independent:
+    each epoch assigns every sample to its BMU, then every neuron moves
+    to the neighborhood-weighted mean with a Gaussian neighborhood whose
+    radius decays from max(grid)/2 to 0.5. Init = first n_neurons rows
+    (callers pass a deterministically ordered sample). Returns the
+    (n_neurons, n_features) codebook."""
+    gx, gy = grid
+    n = gx * gy
+    jj = np.arange(n)
+    coords = np.stack([jj // gy, jj % gy], axis=1).astype(np.float64)
+    grid_d2 = ((coords[:, None, :] - coords[None, :, :]) ** 2).sum(axis=2)
+    W = X[:n].astype(np.float64).copy()
+    r0, r1 = max(gx, gy) / 2.0, 0.5
+    for e in range(epochs):
+        sigma = r0 * (r1 / r0) ** (e / max(1, epochs - 1))
+        d = (
+            (X**2).sum(axis=1, keepdims=True)
+            - 2.0 * X @ W.T
+            + (W**2).sum(axis=1)[None, :]
+        )
+        bmu = np.argmin(d, axis=1)
+        H = np.exp(-grid_d2[:, bmu] / (2.0 * sigma * sigma))  # (n, samples)
+        denom = H.sum(axis=1)
+        W = np.where(
+            denom[:, None] > 0, (H @ X) / np.maximum(denom, 1e-300)[:, None], W
+        )
+    return W
+
+
+def som_map(
+    df: DataFrame,
+    feature_col: str,
+    id_col: str,
+    label_col: str,
+    grid: tuple[int, int] = (4, 4),
+    epochs: int = 5,
+    sample_cap: int = 10_000,
+) -> DataFrame:
+    """sits_som_map: train the SOM driver-side on a bounded
+    deterministic sample (the reference trains on the sample tibble too
+    — sample-sized, not cube-sized), then map EVERY row to its
+    best-matching neuron distributed, via one Arrow-batched gemm per
+    batch (no per-row Python). Adds ``neuron`` and ``qerr`` columns."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    sample = (
+        df.select(id_col, feature_col)
+        .orderBy(F.abs(F.hash(F.col(id_col))), F.col(id_col))
+        .limit(sample_cap)
+        .toPandas()
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[feature_col]])
+    W = som_train(X, grid=grid, epochs=epochs)
+    Wt = W.T.copy()
+    ww = (W**2).sum(axis=1)
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("neuron", IntegerType()), StructField("qerr", DoubleType())]
+    )
+
+    def assign(batches):
+        for batch in batches:
+            emb = batch.column(feature_col)
+            vals = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            E = vals.reshape(len(batch), -1)
+            d = (E**2).sum(axis=1, keepdims=True) - 2.0 * E @ Wt + ww[None, :]
+            bmu = np.argmin(d, axis=1)
+            qerr = np.sqrt(np.maximum(d[np.arange(len(E)), bmu], 0.0))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    *batch.columns,
+                    pa.array(bmu.astype(np.int32), type=pa.int32()),
+                    pa.array(qerr, type=pa.float64()),
+                ],
+                names=[*batch.schema.names, "neuron", "qerr"],
+            )
+
+    return df.mapInArrow(assign, schema=schema)
+
+
+def som_clean(
+    mapped: DataFrame,
+    label_col: str,
+    clean_threshold: float = 0.6,
+    analyze_threshold: float = 0.2,
+) -> DataFrame:
+    """sits_som_clean_samples (R/sits_som.R): grade each sample by the
+    share of its own label within its neuron — ``clean`` above
+    ``clean_threshold``, ``analyze`` between, ``remove`` below. One
+    window pass over the mapped frame, no extra shuffle beyond the
+    neuron grouping."""
+    wn = Window.partitionBy("neuron")
+    wnl = Window.partitionBy("neuron", label_col)
+    share = (
+        F.count(F.lit(1)).over(wnl).cast("double") / F.count(F.lit(1)).over(wn)
+    )
+    return mapped.withColumn("label_share", share).withColumn(
+        "eval",
+        F.when(F.col("label_share") >= clean_threshold, "clean")
+        .when(F.col("label_share") >= analyze_threshold, "analyze")
+        .otherwise("remove"),
+    )
 
 
 # --------------------------------------------------------- change detect

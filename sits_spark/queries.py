@@ -2446,6 +2446,210 @@ REGISTRY.update({"emb_smote_minority": (emb_smote_minority, SQL_EMB_SMOTE_MINORI
 
 
 # ---------------------------------------------------------------------------
+# G. SOM sample-quality map (reference sits_som_map / som_clean_samples,
+#    /root/reference/R/api_som.R + src/kohonen_som.cpp:1-834)
+# ---------------------------------------------------------------------------
+
+_SOM_GRID = 4  # 4x4 neuron grid
+_SOM_N = _SOM_GRID * _SOM_GRID
+_SOM_WSCALE = 1000
+
+
+def _som_planes() -> list[list[int]]:
+    """Deterministic init codebook: 16 neurons of +-128 (in vq units,
+    i.e. +-0.125 in embedding units), LCG-seeded like the ANN planes but
+    offset so the families are distinct."""
+    return [
+        [int(128 * v) for v in _plane(100 + j)] for j in range(_SOM_N)
+    ]
+
+
+def _som_nb_pairs() -> list[tuple[int, int]]:
+    """(neuron, bmu) pairs with Manhattan grid distance <= 1 — the
+    radius-1 neighborhood of the batch update."""
+    out = []
+    for j in range(_SOM_N):
+        jx, jy = divmod(j, _SOM_GRID)
+        for b in range(_SOM_N):
+            bx, by = divmod(b, _SOM_GRID)
+            if abs(jx - bx) + abs(jy - by) <= 1:
+                out.append((j, b))
+    return out
+
+
+def emb_som_quality(spark, sf_dir):
+    """One batch-SOM epoch + sample-quality map, integer-exact.
+
+    The reference trains a Kohonen SOM on the sample set and grades each
+    sample by its neuron's label purity (sits_som_map +
+    sits_som_clean_samples, /root/reference/R/api_som.R;
+    src/kohonen_som.cpp batch updates). This oracle-checkable variant
+    runs ONE batch epoch from a fixed literal codebook over integer-
+    quantized embeddings, so every distance, codebook update and
+    reassignment is exact integer arithmetic — identical in Spark and
+    DuckDB regardless of summation order:
+
+      vq = floor(v * 1024 + 0.5)                     (ANN quantization)
+      bmu0 = argmin_j ||vq - W0_j||^2  (ties -> smaller j)
+      W1_j = radius-1 neighborhood mean of member vq, re-quantized to
+             floor(mean * 1000 + 0.5)  (neurons with no members drop out)
+      bmu1 = argmin over W1 of sum_dims (1000*vq - W1_j)^2
+      per neuron: members, majority label, purity, RMS quantization err
+
+    The iterative multi-epoch verb is api.som_map (pytest vs numpy)."""
+    e = _t(spark, sf_dir, "embeddings")
+    vq = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT))"
+    )
+    base = e.select("vec_id", "label", vq.alias("vq"))
+    planes = _som_planes()
+    w0qq = [sum(w * w for w in ws) for ws in planes]
+    zero = F.lit(0).cast("long")
+    d0 = F.array(
+        *[
+            (
+                F.lit(w0qq[j]).cast("long")
+                - 2
+                * F.aggregate(
+                    F.zip_with(
+                        F.col("vq"),
+                        F.array(*[F.lit(w) for w in planes[j]]),
+                        lambda x, y: x * y,
+                    ),
+                    zero,
+                    lambda a, x: a + x,
+                )
+            ).cast("long")
+            for j in range(_SOM_N)
+        ]
+    )
+    scored = base.select("vec_id", "label", "vq", F.posexplode(d0).alias("j", "d"))
+    wv = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("j"))
+    bmu0 = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "vq", F.col("j").alias("bmu"))
+    )
+    nb = spark.createDataFrame(_som_nb_pairs(), "neuron int, bmu int")
+    members0 = bmu0.join(F.broadcast(nb), "bmu").select("vec_id", "vq", "neuron")
+    vdims = bmu0.select(
+        "vec_id", "label", F.posexplode("vq").alias("pos", "q")
+    ).withColumn("dim", F.col("pos") + 1)
+    mdims = members0.select(
+        "vec_id", "neuron", F.posexplode("vq").alias("pos", "q")
+    ).withColumn("dim", F.col("pos") + 1)
+    w1 = mdims.groupBy("neuron", "dim").agg(
+        F.floor(
+            F.sum("q").cast("double") / F.count("q") * _SOM_WSCALE + 0.5
+        ).cast("long").alias("wq")
+    )
+    # full re-assignment against the updated codebook: exact int sums
+    d2 = (
+        vdims.join(w1, "dim")
+        .groupBy("vec_id", "label", "neuron")
+        .agg(
+            F.sum(
+                (F.lit(_SOM_WSCALE) * F.col("q") - F.col("wq"))
+                * (F.lit(_SOM_WSCALE) * F.col("q") - F.col("wq"))
+            ).alias("d2")
+        )
+    )
+    wv2 = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("neuron"))
+    assigned = (
+        d2.withColumn("rn", F.row_number().over(wv2))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "neuron", "d2")
+    )
+    counts = assigned.groupBy("neuron", "label").agg(F.count(F.lit(1)).alias("nl"))
+    wmaj = Window.partitionBy("neuron").orderBy(F.desc("nl"), F.asc("label"))
+    maj = (
+        counts.withColumn("rn", F.row_number().over(wmaj))
+        .where(F.col("rn") == 1)
+        .select("neuron", F.col("label").alias("majority_label"), F.col("nl").alias("n_maj"))
+    )
+    per = assigned.groupBy("neuron").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("d2").alias("sd2")
+    )
+    return (
+        per.join(maj, "neuron")
+        .select(
+            "neuron",
+            "n_members",
+            "majority_label",
+            _r6(F.col("n_maj").cast("double") / F.col("n_members")).alias("purity"),
+            _r6(
+                F.sqrt(F.col("sd2").cast("double") / F.col("n_members"))
+                / F.lit(1024.0 * _SOM_WSCALE)
+            ).alias("qerr_rms"),
+        )
+    )
+
+
+def _sql_som() -> str:
+    planes = _som_planes()
+    w0qq = [sum(w * w for w in ws) for ws in planes]
+    d0_parts = " UNION ALL ".join(
+        f"SELECT vec_id, label, vq, {j} AS j, "
+        f"{w0qq[j]} - 2 * CAST(list_dot_product(vq, [{', '.join(str(w) for w in planes[j])}]) AS BIGINT) AS d "
+        "FROM bq"
+        for j in range(_SOM_N)
+    )
+    nb_vals = ", ".join(f"({j}, {b})" for j, b in _som_nb_pairs())
+    return f"""
+WITH bq AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1024 + 0.5) AS BIGINT)) AS vq
+  FROM embeddings
+),
+d0 AS ({d0_parts}),
+bmu0 AS (
+  SELECT vec_id, label, vq, j AS bmu FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, j ASC) AS rn FROM d0
+  ) WHERE rn = 1
+),
+nb(neuron, bmu) AS (VALUES {nb_vals}),
+members0 AS (SELECT vec_id, vq, neuron FROM bmu0 JOIN nb USING (bmu)),
+vdims AS (
+  SELECT vec_id, label, generate_subscripts(vq, 1) AS dim, unnest(vq) AS q FROM bmu0
+),
+mdims AS (
+  SELECT neuron, generate_subscripts(vq, 1) AS dim, unnest(vq) AS q FROM members0
+),
+w1 AS (
+  SELECT neuron, dim,
+         CAST(floor(CAST(sum(q) AS DOUBLE) / count(q) * {_SOM_WSCALE} + 0.5) AS BIGINT) AS wq
+  FROM mdims GROUP BY 1, 2
+),
+d2t AS (
+  SELECT vec_id, label, neuron,
+         sum(({_SOM_WSCALE} * q - wq) * ({_SOM_WSCALE} * q - wq)) AS d2
+  FROM vdims JOIN w1 USING (dim) GROUP BY 1, 2, 3
+),
+assigned AS (
+  SELECT vec_id, label, neuron, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, neuron ASC) AS rn FROM d2t
+  ) WHERE rn = 1
+),
+counts AS (SELECT neuron, label, count(*) AS nl FROM assigned GROUP BY 1, 2),
+maj AS (
+  SELECT neuron, label AS majority_label, nl AS n_maj FROM (
+    SELECT *, row_number() OVER (PARTITION BY neuron ORDER BY nl DESC, label ASC) AS rn FROM counts
+  ) WHERE rn = 1
+),
+per AS (SELECT neuron, count(*) AS n_members, sum(d2) AS sd2 FROM assigned GROUP BY 1)
+SELECT neuron, n_members, majority_label,
+       CAST(round(CAST(n_maj AS DOUBLE) / n_members, 6) AS DOUBLE) AS purity,
+       CAST(round(sqrt(CAST(sd2 AS DOUBLE) / n_members) / {1024.0 * _SOM_WSCALE}, 6) AS DOUBLE) AS qerr_rms
+FROM per JOIN maj USING (neuron)
+"""
+
+
+SQL_EMB_SOM_QUALITY = _sql_som()
+
+REGISTRY.update({"emb_som_quality": (emb_som_quality, SQL_EMB_SOM_QUALITY)})
+
+
+# ---------------------------------------------------------------------------
 # F2. DTW pattern-based change detection (round-3)
 # ---------------------------------------------------------------------------
 

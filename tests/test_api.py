@@ -307,3 +307,41 @@ def test_smote_interpolates_midpoint(spark):
     assert all(r.lbl == "m" for r in got.where("synthetic").collect())
     # majority class never synthesized, originals intact
     assert set(pdf[~pdf.synthetic]["id"]) == {"1", "2", "3", "4"}
+
+
+def test_som_map_separates_clusters(spark):
+    """Three well-separated clusters: distributed mapping equals the
+    numpy argmin, each cluster lands on one neuron, purity grading via
+    som_clean is 'clean' everywhere."""
+    rng = np.random.RandomState(3)
+    rows = []
+    for ci, (cx, lbl) in enumerate([(0.0, "a"), (10.0, "b"), (20.0, "c")]):
+        for i in range(30):
+            v = [float(cx + rng.rand() * 0.1), float(rng.rand() * 0.1)]
+            rows.append((ci * 100 + i, lbl, v))
+    df = spark.createDataFrame(rows, "id int, lbl string, v array<double>")
+    mapped = api.som_map(df, "v", "id", "lbl", grid=(2, 2), epochs=5)
+    pdf = mapped.toPandas()
+    # every NEURON is label-pure (a cluster may legitimately span two
+    # adjacent neurons, but no neuron mixes clusters), labels use
+    # disjoint neuron sets, and quantization error stays within-cluster
+    per_neuron = pdf.groupby("neuron")["lbl"].nunique()
+    assert (per_neuron == 1).all(), pdf.groupby("neuron")["lbl"].unique()
+    sets = pdf.groupby("lbl")["neuron"].agg(lambda s: frozenset(s))
+    assert sum(len(s) for s in sets) == len(frozenset().union(*sets))
+    # final sigma=0.5 leaves ~13% neighborhood blending in the codebook
+    # (topographic map, not k-means), so qerr is ~1.5, not ~0.05
+    assert (pdf["qerr"] >= 0).all() and (pdf["qerr"] < 3.0).all()
+    graded = api.som_clean(mapped, "lbl").toPandas()
+    assert (graded["eval"] == "clean").all()
+    assert np.allclose(graded["label_share"], 1.0)
+
+
+def test_som_clean_grades_mixed_neuron(spark):
+    rows = [(i, "a" if i < 7 else "b", 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "id int, lbl string, neuron int")
+    graded = {
+        (r.id): (r.eval, r.label_share) for r in api.som_clean(df, "lbl").collect()
+    }
+    assert all(graded[i] == ("clean", 0.7) for i in range(7))
+    assert all(graded[i] == ("analyze", 0.3) for i in range(7, 10))
