@@ -214,15 +214,17 @@ def fused_tiers(
     )
 
 
-_PART_SCHEMA = pa.schema([("bucket", pa.int32()), ("day", pa.date32())])
-
 # flush thresholds per row_kind: bound task memory to ~flush-size per kind
 # regardless of how much data the task's key range holds (a skewed range
 # at 100x otherwise buffers its whole multi-GB output before writing).
 # Both limits apply — rows for the narrow tiers, bytes for blob-carrying
-# pack rows whose size per row is unbounded.
-FLUSH_ROWS = 1 << 18
-FLUSH_BYTES = 64 << 20
+# pack rows whose size per row is unbounded. Env-overridable so the
+# bench can A/B writer knobs without code churn.
+FLUSH_ROWS = int(os.environ.get("SPARK_GRAFT_FLUSH_ROWS", 1 << 18))
+FLUSH_BYTES = int(os.environ.get("SPARK_GRAFT_FLUSH_BYTES", 64 << 20))
+WRITE_COMPRESSION = os.environ.get("SPARK_GRAFT_COMPRESSION", "zstd")
+
+_PART_SCHEMA = pa.schema([("bucket", pa.int32()), ("day", pa.date32())])
 
 
 class PartitionedWriter:
@@ -238,7 +240,18 @@ class PartitionedWriter:
     action's generation token — unique per action, fixed at plan build,
     so names are unique ACROSS actions (no cross-run overwrite; stale
     generations stay invisible to manifest-driven readers and are
-    reclaimed by vacuum) yet deterministic WITHIN one (retry-safe)."""
+    reclaimed by vacuum) yet deterministic WITHIN one (retry-safe).
+
+    Writer-backend note (measured, round 4): an alternative that keeps
+    one persistent ``pq.ParquetWriter`` per (bucket, day) and appends a
+    row group per flush was tried and REVERTED — per-task cProfile at
+    local[32] showed 13k ~1k-row ``write_table`` calls costing 116
+    CPU-s vs ``write_dataset``'s 48 CPU-s for the same data;
+    write_dataset's single C++ pass groups and encodes all partitions of
+    a flush at ~0.4 ms each, which Python-side per-partition calls
+    cannot match. The fused stage's residual 8->32 CPU inflation is
+    host memory bandwidth (BENCH/BASELINE.md calibration), not writer
+    overhead."""
 
     def __init__(
         self,
@@ -262,7 +275,9 @@ class PartitionedWriter:
         self._acc_bytes: dict[str, int] = {}
         self._flush_idx: dict[str, int] = {}
         self._counts: dict[str, np.ndarray] = {}
-        self._opts = pads.ParquetFileFormat().make_write_options(compression="zstd")
+        self._opts = pads.ParquetFileFormat().make_write_options(
+            compression=WRITE_COMPRESSION
+        )
 
     def add(self, kind: str, data: dict[str, np.ndarray], n: int) -> None:
         if not n:
@@ -349,9 +364,20 @@ def _write_iter(
             table_path, pid, flush_rows=flush_rows, flush_bytes=flush_bytes,
             gen=gen,
         )
+        prof_dir = os.environ.get("SPARK_GRAFT_TASK_PROFILE_DIR")
+        prof = None
+        if prof_dir:
+            import cProfile
+
+            prof = cProfile.Profile()
+            prof.enable()
         for kind, data, n in _tier_stream(it, tiers, with_pack):
             writer.add(kind, data, n)
-        yield writer.stats_batch()
+        out = writer.stats_batch()
+        if prof is not None:
+            prof.disable()
+            prof.dump_stats(os.path.join(prof_dir, f"task-{pid:05d}.prof"))
+        yield out
 
     return fn
 

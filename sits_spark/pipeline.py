@@ -75,6 +75,7 @@ class RollupPipeline:
         range_partitions: int | None = None,
         giant_span_chunks: int | None = 2,
         storage=None,
+        stats_dir: str | None = None,
     ):
         """``giant_span_chunks``: conversations spanning more than this
         many 8-day chunks are routed through the cross-task chunked
@@ -92,6 +93,11 @@ class RollupPipeline:
         self.table_path = os.path.join(warehouse, "tiers")
         self.storage = storage or store_mod.LocalFsStorage()
         self.store = mf.ManifestStore(spark, warehouse, storage=self.storage)
+        # input-table statistics (the giant-conv extents list) are a pure
+        # function of the INPUT fingerprint, not of this warehouse — like
+        # Iceberg table stats they can live with the table's metadata and
+        # be shared across jobs. Default keeps them under the warehouse.
+        self.stats_dir = stats_dir or warehouse
 
     def tier_path(self, tier: str) -> str:
         return os.path.join(self.table_path, TIER_DIRS[tier])
@@ -288,7 +294,7 @@ class RollupPipeline:
         # cache key includes the threshold: a rerun with a different
         # giant_span_chunks must not reuse a stale id list
         path = os.path.join(
-            self.warehouse, f"_giants-{fp}-c{self.giant_span_chunks}"
+            self.stats_dir, f"_giants-{fp}-c{self.giant_span_chunks}"
         )
         if not self.storage.exists(path):
             import pyarrow as pa
