@@ -101,18 +101,16 @@ def pipeline_worker(cpus: int, input_dir: str, reps: int) -> None:
         )
         elapsed: list[float] = []
         points = 0
-        # input-table statistics (giant-conv extents) are a function of
-        # the input fingerprint only; share them across reps exactly as a
-        # production job would read them from the table's metadata (the
-        # warm-up rep pays the stats scan once)
-        stats_dir = os.path.join(os.path.dirname(BENCH_DATA), "_table_stats")
-        os.makedirs(stats_dir, exist_ok=True)
         for i in range(reps + 1):  # first run = warm-up, not reported
-            # tmpfs warehouse: keeps the measurement about the engine
+            # tmpfs warehouse: keeps the measurement about the engine.
+            # Each rep recomputes the giant-extents stats scan too — a
+            # shared stats_dir would be legitimate (table-level metadata,
+            # pipeline supports it) but the measured window should cover
+            # the WHOLE job a cold production run pays.
             wh = tempfile.mkdtemp(prefix=f"bench_wh_{cpus}_", dir="/dev/shm")
             try:
                 t0 = time.time()
-                pipe = RollupPipeline(spark, wh, stats_dir=stats_dir)
+                pipe = RollupPipeline(spark, wh)
                 pipe.run(input_dir, run_id=f"bench-{cpus}-{i}", resume=False)
                 dt = time.time() - t0
                 if i > 0:
@@ -149,17 +147,43 @@ def run_worker(cpus: int, input_dir: str, reps: int = REPS) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def measure_pair(lo: int, hi: int, data: str) -> dict:
-    """Interleaved rounds of (hi, lo) sessions; min wall per level."""
+def measure_pair(
+    lo: int, hi: int, data: str, extra_rounds: int = 0, agree: float = 1.05
+) -> dict:
+    """Interleaved rounds of (hi, lo) sessions; min wall per level.
+
+    The host's exogenous noise is strictly ADDITIVE (a contaminated run
+    is only ever slower) and arrives in multi-minute phases, so the
+    per-level minimum is the estimator and more rounds can only tighten
+    it, never bias it. Stopping rule: after the base ``ROUNDS``, keep
+    adding interleaved rounds (up to ``extra_rounds`` more) until each
+    level's best ROUND-minimum is corroborated by a second, independent
+    round within ``agree`` (default 5%) — a single noise phase can
+    contaminate one round, but a minimum confirmed across two separate
+    rounds is very unlikely to be a phase artifact. Uncorroborated after
+    the cap -> report the minima anyway (they are still upper bounds on
+    the true walls)."""
     t_lo: list[float] = []
     t_hi: list[float] = []
+    rmin_lo: list[float] = []
+    rmin_hi: list[float] = []
     points = turns = 0
-    for _ in range(ROUNDS):
+    for i in range(ROUNDS + extra_rounds):
         r_hi = run_worker(hi, data)
         r_lo = run_worker(lo, data)
         t_hi += r_hi["elapsed"]
         t_lo += r_lo["elapsed"]
+        rmin_hi.append(min(r_hi["elapsed"]))
+        rmin_lo.append(min(r_lo["elapsed"]))
         points, turns = r_hi["points"], r_hi["turns"]
+        if i >= ROUNDS - 1:
+
+            def corroborated(rmins: list[float]) -> bool:
+                s = sorted(rmins)
+                return len(s) >= 2 and s[1] <= agree * s[0]
+
+            if corroborated(rmin_lo) and corroborated(rmin_hi):
+                break
     b_lo, b_hi = min(t_lo), min(t_hi)
     return {
         "lo": lo,
@@ -187,7 +211,7 @@ def main() -> None:
     data = ensure_bench_data()
     # primary evidence: N=2 vs 4N=8 (the pairing where this host can
     # physically deliver 4x; see BENCH/BASELINE.md calibration)
-    pair28 = measure_pair(2, 8, data)
+    pair28 = measure_pair(2, 8, data, extra_rounds=3)
     # supplementary: 8 vs 32 plus what pure-CPU JVM work achieves there
     pair832 = measure_pair(8, 32, data)
 
@@ -254,10 +278,16 @@ Gorilla-packed blocks, all tiers written in ONE pass to the
 
 Per level: one long-lived JVM (heap pre-touched at startup, exactly as a
 production executor pays it once at launch), one warm-up run, then
-{REPS} measured runs; levels interleaved over {ROUNDS} rounds and the
-per-level minimum taken. Interleaving + minima are required because this
-VM shows multi-second exogenous noise (observed single-run variance up
-to 3x on identical code and data).
+{REPS} measured runs; levels interleaved over {ROUNDS}+ rounds and the
+per-level minimum taken. The 2 -> 8 pairing keeps adding interleaved
+rounds (up to 3 extra) until each level's best round-minimum is
+corroborated by a SECOND independent round within 5% — this VM shows
+exogenous noise phases lasting whole minutes (observed single-run
+variance up to 3x, and 20%+ swings on identical code re-measured hours
+apart), a single phase can contaminate one whole round, but a minimum
+confirmed across two separate rounds is very unlikely to be a phase
+artifact. The noise is strictly additive, so minima are unbiased and
+extra rounds only tighten them.
 
 ## Primary pairing: N=2 vs 4N=8 executors (local[2] vs local[8])
 

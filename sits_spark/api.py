@@ -455,6 +455,62 @@ def clean(
 # ----------------------------------------------------------- reclassify
 
 
+def segment(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    ts_col: str = "ts",
+    gap_s: int = 3600,
+    out_col: str = "seg_id",
+) -> DataFrame:
+    """Temporal segmentation (the time-domain analog of sits_segment,
+    R/sits_segmentation.R:60-118: adjacency is temporal, the merge
+    criterion is an inactivity gap > ``gap_s`` seconds). Labels every row
+    with a 1-based per-key segment id via islands-and-gaps: one running
+    sum of new-segment flags over the ordered per-key window — a single
+    window pass keyed by the series key, no iteration, no UDF."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    # the timestamp hop keeps NTZ columns castable to epoch seconds
+    s = F.col(ts_col).cast("timestamp").cast("long")
+    gap = s - F.lag(s).over(w)
+    seg = F.sum(
+        F.when(gap.isNull() | (gap > gap_s), F.lit(1)).otherwise(F.lit(0))
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(out_col, seg)
+
+
+def patterns(
+    df: DataFrame,
+    label_col: str,
+    value: str,
+    slot: Column | str,
+    smooth_radius: int = 1,
+) -> DataFrame:
+    """Per-label temporal patterns (sits_patterns,
+    R/sits_patterns.R:57-95): align every series onto the shared ``slot``
+    timeline, average per (label, slot), then smooth each label's curve
+    with a centered moving mean of half-width ``smooth_radius`` (the
+    closed-form stand-in for the reference's GAM fit). The second stage
+    is bounded by the label vocabulary, not the data."""
+    slot_col = F.col(slot) if isinstance(slot, str) else slot
+    hourly = df.groupBy(
+        F.col(label_col).alias("label"), slot_col.alias("slot")
+    ).agg(F.sum(value).alias("_sv"), F.count(F.lit(1)).alias("n_obs"))
+    w = (
+        Window.partitionBy("label")
+        .orderBy("slot")
+        .rowsBetween(-smooth_radius, smooth_radius)
+    )
+    raw = F.col("_sv") / F.col("n_obs")
+    return hourly.select(
+        "label",
+        "slot",
+        "n_obs",
+        raw.alias("pattern_raw"),
+        F.avg(raw).over(w).alias("pattern_smooth"),
+    )
+
+
 def reclassify(
     df: DataFrame,
     col: str,

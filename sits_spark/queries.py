@@ -2775,6 +2775,123 @@ SQL_TS_DTW_CHANGE = _sql_dtw()
 REGISTRY.update({"ts_dtw_change": (ts_dtw_change, SQL_TS_DTW_CHANGE)})
 
 
+def ts_segment_sessions(spark, sf_dir):
+    """Temporal segmentation: split each series into sessions at
+    inactivity gaps > 1h and aggregate per segment (the time-domain
+    analog of sits_segment's region-growing over adjacency,
+    /root/reference/R/sits_segmentation.R:60-118 — here adjacency is
+    temporal, the merge criterion is the gap threshold).
+
+    Islands-and-gaps: a running sum of is-new-segment flags over the
+    per-key ordered window labels every row with its segment id in ONE
+    pass — no iteration, no UDF; the window shuffle is the only exchange
+    and it is keyed by user_id (the series key), so at 100 TB it
+    partitions by series exactly like every other per-series operator
+    here. Epoch-second arithmetic keeps the gap test integer-exact in
+    both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ timestamps need the timestamp hop before the epoch-long cast
+    s = F.col("ts").cast("timestamp").cast("long")
+    gap = s - F.lag(s).over(w)
+    seg = F.sum(
+        F.when(gap.isNull() | (gap > 3600), F.lit(1)).otherwise(F.lit(0))
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        e.select("user_id", "event_id", "ts", "value", seg.alias("seg_id"))
+        .groupBy("user_id", "seg_id")
+        .agg(
+            F.min("ts").alias("seg_start"),
+            F.max("ts").alias("seg_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.avg("value")).alias("avg_value"),
+        )
+    )
+
+
+SQL_TS_SEGMENT_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         -- epoch_us // 1e6 floors like Spark's cast(ts AS long); a plain
+         -- epoch()::BIGINT would round-half-even and disagree on the
+         -- sub-second timestamps this table carries
+         CASE WHEN (CAST(epoch_us(ts) AS BIGINT) // 1000000)
+                   - lag(CAST(epoch_us(ts) AS BIGINT) // 1000000) OVER w
+                   IS NULL
+                OR (CAST(epoch_us(ts) AS BIGINT) // 1000000)
+                   - lag(CAST(epoch_us(ts) AS BIGINT) // 1000000) OVER w
+                   > 3600
+              THEN 1 ELSE 0 END AS new_seg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+labeled AS (
+  SELECT user_id, ts, value,
+         -- DuckDB sum(int) is HUGEINT, which pandas would widen to
+         -- float64; Spark emits int64
+         CAST(sum(new_seg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS seg_id
+  FROM flagged
+)
+SELECT user_id, seg_id, min(ts) AS seg_start, max(ts) AS seg_end,
+       count(*) AS n_events,
+       CAST(round(avg(value), 6) AS DOUBLE) AS avg_value
+FROM labeled GROUP BY 1, 2
+"""
+
+
+def ts_label_patterns(spark, sf_dir):
+    """Per-label temporal patterns: align every series onto a shared
+    24-slot diurnal timeline, average per (label, slot), then smooth the
+    pattern with a centered 3-slot mean (sits_patterns' align-to-common-
+    timeline + smooth-fit shape, /root/reference/R/sits_patterns.R:57-95,
+    with the GAM fit replaced by a fixed moving-average kernel so both
+    engines are closed-form).
+
+    Two hash aggregations (map-side partial) and one tiny window over
+    the 24xlabels pattern table — the second stage is bounded by the
+    label-vocabulary size, not the data, so at 100 TB everything after
+    the first groupBy is effectively free."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type").alias("label"), F.hour("ts").alias("slot")
+    ).agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n_obs"))
+    w = Window.partitionBy("label").orderBy("slot").rowsBetween(-1, 1)
+    raw = F.col("sv") / F.col("n_obs")
+    return hourly.select(
+        "label",
+        "slot",
+        "n_obs",
+        _r6(raw).alias("pattern_raw"),
+        _r6(F.avg(raw).over(w)).alias("pattern_smooth"),
+    )
+
+
+SQL_TS_LABEL_PATTERNS = """
+WITH hourly AS (
+  SELECT event_type AS label, hour(ts) AS slot,
+         sum(value) AS sv, count(*) AS n_obs
+  FROM events GROUP BY 1, 2
+)
+SELECT label, slot, n_obs,
+       CAST(round(sv / n_obs, 6) AS DOUBLE) AS pattern_raw,
+       CAST(round(avg(sv / n_obs) OVER (PARTITION BY label ORDER BY slot
+                                        ROWS BETWEEN 1 PRECEDING AND 1
+                                        FOLLOWING), 6) AS DOUBLE)
+         AS pattern_smooth
+FROM hourly
+"""
+
+
+REGISTRY.update(
+    {
+        "ts_segment_sessions": (ts_segment_sessions, SQL_TS_SEGMENT_SESSIONS),
+        "ts_label_patterns": (ts_label_patterns, SQL_TS_LABEL_PATTERNS),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # F. flagship transcript-engine oracles in the MAIN registry (VERDICT r2 #1):
 #    the ev_* variants reference only driver-registered views on the SQL

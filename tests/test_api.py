@@ -345,3 +345,53 @@ def test_som_clean_grades_mixed_neuron(spark):
     }
     assert all(graded[i] == ("clean", 0.7) for i in range(7))
     assert all(graded[i] == ("analyze", 0.3) for i in range(7, 10))
+
+
+def test_segment_islands(spark):
+    # gaps > 60s split segments; ties on ts ordered by the tiebreak col
+    rows = [
+        ("a", 0, 0), ("a", 30, 1), ("a", 100, 2),   # 70s gap -> new seg
+        ("a", 130, 3), ("a", 131, 4),
+        ("b", 0, 0), ("b", 1000, 1),
+    ]
+    df = spark.createDataFrame(
+        [(k, float(t), i) for k, t, i in rows],
+        "key string, tsec double, idx int",
+    ).withColumn("ts", F.col("tsec").cast("timestamp"))
+    got = api.segment(
+        df, keys=["key"], order_by=["ts", "idx"], gap_s=60
+    )
+    seg = {
+        (r.key, r.idx): r.seg_id for r in got.collect()
+    }
+    assert seg == {
+        ("a", 0): 1, ("a", 1): 1, ("a", 2): 2, ("a", 3): 2, ("a", 4): 2,
+        ("b", 0): 1, ("b", 1): 2,
+    }
+
+
+def test_patterns_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    rows = [
+        (lab, int(s), float(v))
+        for lab in ("x", "y")
+        for s in range(5)
+        for v in np.round(rng.rand(4) * 10, 3)
+    ]
+    df = spark.createDataFrame(rows, "label string, slot int, value double")
+    got = {
+        (r.label, r.slot): (r.pattern_raw, r.pattern_smooth, r.n_obs)
+        for r in api.patterns(df, "label", "value", "slot").collect()
+    }
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["label", "slot", "value"])
+    for lab, g in pdf.groupby("label"):
+        means = g.groupby("slot")["value"].mean()
+        for s in means.index:
+            lo, hi = max(s - 1, means.index.min()), min(s + 1, means.index.max())
+            want_smooth = means.loc[lo:hi].mean()
+            raw, smooth, n = got[(lab, s)]
+            assert n == 4
+            assert raw == pytest.approx(means.loc[s], rel=1e-9)
+            assert smooth == pytest.approx(want_smooth, rel=1e-9)
