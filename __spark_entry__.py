@@ -65,7 +65,6 @@ _PRIORITY: list[str] = [
     # temporal reduce / regularize / smooth core
     "ts_reduce_stats",
     "ts_reduce_fslope",
-    "ts_reduce_skew_kurt",
     "ts_regularize_first",
     "ts_grid_gapfill_day",
     "ts_acq_summary_hour",
@@ -76,7 +75,6 @@ _PRIORITY: list[str] = [
     "ts_select_interval",
     "ts_argmax_label",
     "ts_entropy_uncertainty",
-    "ts_uncertainty_margin",
     "ts_softmax_probs",
     "ts_normalize_minmax",
     "ts_cascade_1h_1d",
@@ -89,6 +87,12 @@ _PRIORITY: list[str] = [
     "ts_bayes_smooth",
     "ts_glcm_texture",
     "ts_autocorr_lags",
+    # segmentation + per-label patterns (round 4; ts_uncertainty_margin
+    # and ts_reduce_skew_kurt ceded their window slots — their families
+    # stay covered by ts_entropy_uncertainty / api_reduce_moments, and
+    # they remain selfcheck-verified past the window)
+    "ts_segment_sessions",
+    "ts_label_patterns",
     # joins
     "join_dim_rollup",
     "join_missing_anti",
