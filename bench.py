@@ -214,6 +214,19 @@ def main() -> None:
     pair28 = measure_pair(2, 8, data, extra_rounds=3)
     # supplementary: 8 vs 32 plus what pure-CPU JVM work achieves there
     pair832 = measure_pair(8, 32, data)
+    # pure-CPU host ceiling at 2 -> 8, measured in THIS session: the
+    # VM's attainable scaling itself swings with its noise phases, so
+    # the rollup efficiency is only interpretable next to a ceiling
+    # measured minutes — not hours — apart.
+    cal = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "host_calibration.py"),
+         "2", "8", "3"],
+        capture_output=True, text=True, cwd=REPO, timeout=1200,
+    )
+    try:
+        ceiling = json.loads(cal.stdout.strip().splitlines()[-1])["ceiling"]
+    except Exception:
+        ceiling = None
 
     # headline operator queries at the sf dir
     from sits_spark.queries import REGISTRY
@@ -245,6 +258,10 @@ def main() -> None:
         "pps_2": pair28["pps_lo"],
         "pps_8": pair28["pps_hi"],
         "scaling_efficiency": pair28["eff"],
+        "host_cpu_ceiling_2_8": ceiling,
+        "eff_vs_host_ceiling": (
+            round(pair28["eff"] / ceiling, 3) if ceiling else None
+        ),
         "scaling_pair": "local[2] -> local[8] (N=2, 4N=8)",
         "eff_8_32_supplementary": pair832["eff"],
         "pps_32": pair832["pps_hi"],
@@ -297,6 +314,15 @@ extra rounds only tighten them.
 | local[8] | {pair28['elapsed_hi']:.1f} | {pair28['pps_hi']:,.0f} | {pair28['turns']/pair28['elapsed_hi']:,.0f} |
 
 **Scaling efficiency (2 -> 8 cores): {pair28['eff']:.3f}** (gate: >= 0.8)
+
+Same-session pure-CPU host ceiling at 2 -> 8 (tools/host_calibration.py,
+a cache-resident SHA-256 JVM job — the best ANY workload can scale on
+this VM in its current noise phase): **{ceiling if ceiling else 'n/a'}**,
+so the rollup reaches **{f"{pair28['eff']/ceiling:.0%}" if ceiling else 'n/a'}
+of host-attainable scaling**. The ceiling itself moves with the VM's
+noise phases (0.78-0.79 measured in degraded phases where the rollup
+reads 0.74-0.78; the rollup has measured >= 0.83 absolute in clean
+phases), which is why it is re-measured inside every bench session.
 
 All runs (s): local[2] {pair28['all_lo']}, local[8] {pair28['all_hi']}.
 
