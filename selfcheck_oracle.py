@@ -46,6 +46,16 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> str | None:
     g, w = normalize(got), normalize(want)
     for c in g.columns:
         a, b = g[c].to_numpy(), w[c].to_numpy()
+        # dtype-strict: the driver's hash is dtype-sensitive, so an
+        # int64-vs-float64 pair (e.g. DuckDB HUGEINT sum vs Spark bigint)
+        # must FAIL here even when np.array_equal would pass numerically.
+        ka, kb = a.dtype.kind, b.dtype.kind
+        if {ka, kb} <= {"i", "u", "f"} and (ka in "iu") != (kb in "iu"):
+            return (
+                f"dtype class mismatch in column {c}: "
+                f"spark={a.dtype} duck={b.dtype} (int vs float — "
+                f"cast the oracle SQL, e.g. CAST(sum(x) AS BIGINT))"
+            )
         if a.dtype == np.float64 and b.dtype == np.float64:
             eq = np.array_equal(
                 np.nan_to_num(a, nan=-1e308), np.nan_to_num(b, nan=-1e308)

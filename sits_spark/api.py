@@ -32,6 +32,13 @@ from pyspark.sql import functions as F
 
 from .batching import arrow_conv_batches, conv_bounds, record_batch
 from .kernels import smooth_sg_mtx, smooth_whit_mtx
+from .ml import (  # noqa: F401 — re-exported verbs
+    RandomForestModel,
+    cluster_clean,
+    cluster_dendro,
+    cluster_frequency,
+    tune,
+)
 from .operators import reduce as _red
 
 __all__ = [
@@ -47,9 +54,16 @@ __all__ = [
     "normalize",
     "accuracy",
     "clean",
+    "segment",
+    "patterns",
     "reclassify",
     "classify",
     "LinearSoftmaxModel",
+    "RandomForestModel",
+    "tune",
+    "cluster_dendro",
+    "cluster_frequency",
+    "cluster_clean",
     "validate_kfold",
     "predictors",
     "sample",
@@ -594,7 +608,15 @@ def classify(
     values must be non-null (fill upstream; the reference imputes in its
     predictor pipeline too). Adds one probability column per class and,
     when ``label_col`` is set, the argmax label (first class wins ties,
-    matching which.max)."""
+    matching which.max).
+
+    Models exposing ``transform_classify`` (e.g. ``RandomForestModel``,
+    whose forest lives in the JVM) route through their native plan
+    instead of the Arrow seam — same output schema either way."""
+    if hasattr(model, "transform_classify"):
+        return model.transform_classify(
+            df, feature_cols, out_prefix=out_prefix, label_col=label_col
+        )
     from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
     classes = list(model.classes)
@@ -630,6 +652,7 @@ def validate_kfold(
     feature_cols: Sequence[str],
     label_col: str,
     salt: int = 0,
+    sample_cap: int = 100_000,
 ) -> DataFrame:
     """k-fold cross-validation over a predictors frame (sits_kfold_validate,
     /root/reference/R/sits_validate.R): folds are assigned by a
@@ -637,11 +660,25 @@ def validate_kfold(
     shuffle), each fold's model is fitted driver-side on the training
     split (predictor frames are sample-sized in the reference too, not
     cube-sized), then scored distributed via ``classify``. Returns one
-    row per fold with accuracy."""
-    hashed = F.abs(F.hash(*[F.col(c) for c in key_cols], F.lit(salt)))
-    folded = df.withColumn("_fold", (hashed % k).cast("int"))
+    row per fold with accuracy.
+
+    ``sample_cap`` bounds the driver collect: the per-fold fit pulls the
+    training split through the driver, so a cube-sized frame would OOM
+    it — like ``som_map``'s cap, we refuse rather than silently spill."""
+    # pmod, not abs(hash) % k: hash can return INT_MIN, whose abs
+    # overflows (negative fold / ANSI ARITHMETIC_OVERFLOW)
+    hashed = F.hash(*[F.col(c) for c in key_cols], F.lit(salt))
+    folded = df.withColumn("_fold", F.pmod(hashed, F.lit(k)).cast("int"))
     folded.persist()
     try:
+        n_rows = folded.count()
+        if n_rows > sample_cap:
+            raise ValueError(
+                f"validate_kfold fits driver-side; frame has {n_rows} rows"
+                f" > sample_cap={sample_cap}. Sample the predictors frame"
+                " first (api.sample / api.stratified_sample) or raise"
+                " sample_cap explicitly."
+            )
         results = []
         for fold in range(k):
             train = folded.where(F.col("_fold") != fold).toPandas()
@@ -732,6 +769,7 @@ def smote(
     minority: object,
     n_per: int = 1,
     u: float = 0.5,
+    max_minority: int = 100_000,
 ) -> DataFrame:
     """SMOTE minority oversampling (reference sits_smote,
     /root/reference/R/api_smote.R + R/sits_sample_functions.R):
@@ -745,11 +783,22 @@ def smote(
     neighbor search is a minority x minority self-join with the right
     side broadcast — never an all-pairs join over the full table.
     Returns the original frame plus synthetic rows flagged
-    ``synthetic=true`` (synthetic ids are ``<base>~<rank>``)."""
+    ``synthetic=true`` (synthetic ids are ``<base>~<rank>``).
+
+    ``max_minority`` guards the O(m^2) self-join: the broadcast side
+    must stay executor-memory-sized, so we refuse a "minority" class
+    bigger than the cap instead of launching a quadratic join."""
     m = df.where(F.col(label_col) == minority).select(
         F.col(id_col).alias("_ida"), F.col(feature_col).alias("_va"),
         F.col(label_col).alias("_lbl"),
     )
+    n_min = m.count()
+    if n_min > max_minority:
+        raise ValueError(
+            f"smote minority class has {n_min} rows > max_minority="
+            f"{max_minority}; the neighbor search is minority x minority"
+            " — sample the class down or raise max_minority explicitly"
+        )
     nbr = F.broadcast(
         m.select(F.col("_ida").alias("_idb"), F.col("_va").alias("_vb"))
     )
@@ -806,6 +855,12 @@ def som_train(
     gx, gy = grid
     n = gx * gy
     jj = np.arange(n)
+    if len(X) < n:
+        raise ValueError(
+            f"som_train needs at least {n} samples to seed a "
+            f"{gx}x{gy} grid, got {len(X)}; shrink the grid or raise "
+            "the sample cap"
+        )
     coords = np.stack([jj // gy, jj % gy], axis=1).astype(np.float64)
     grid_d2 = ((coords[:, None, :] - coords[None, :, :]) ** 2).sum(axis=2)
     W = X[:n].astype(np.float64).copy()

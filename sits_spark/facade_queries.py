@@ -266,8 +266,8 @@ tot AS (
          sum(CASE WHEN ref = pred THEN n ELSE 0 END) AS n_diag
   FROM cm
 ),
-refs AS (SELECT ref, sum(n) AS n_ref FROM cm GROUP BY 1),
-preds AS (SELECT pred AS cls, sum(n) AS n_pred FROM cm GROUP BY 1),
+refs AS (SELECT ref, CAST(sum(n) AS BIGINT) AS n_ref FROM cm GROUP BY 1),
+preds AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1),
 diag AS (SELECT ref AS cls_d, n AS n_correct FROM cm WHERE ref = pred),
 per AS (
   SELECT coalesce(refs.ref, preds.cls) AS cls,

@@ -134,7 +134,11 @@ class RollupPipeline:
             )
         if len(giants) <= self.GIANT_ISIN_MAX:
             gcol = F.col("conv_id")
-            common = observed.where(~gcol.isin(giants))
+            # IsNull OR Not(In) keeps NULL-key rows on the common branch,
+            # matching the left_anti regime below — crossing
+            # GIANT_ISIN_MAX must not change which rows are written; this
+            # form (unlike coalesce) still translates to parquet filters
+            common = observed.where(gcol.isNull() | ~gcol.isin(giants))
             giant = observed.where(gcol.isin(giants))
         else:
             gdf = F.broadcast(
@@ -392,6 +396,11 @@ class RollupPipeline:
         deleted = 0
         for tier, rk in TIER_DIRS.items():
             gens = self.store.live_generations(tier)
+            if not gens:
+                # mirror read_tier's directory-read fallback: a tier with
+                # no manifest rows is an out-of-band table the manifest
+                # does not govern — never reclaim what we don't own
+                continue
             root = os.path.join(self.table_path, rk)
             for f in self.storage.list_files(root):
                 bucket = None

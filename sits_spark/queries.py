@@ -2804,12 +2804,18 @@ def ts_segment_sessions(spark, sf_dir):
             F.min("ts").alias("seg_start"),
             F.max("ts").alias("seg_end"),
             F.count(F.lit(1)).alias("n_events"),
-            _r6(F.avg("value")).alias("avg_value"),
+            # exact-decimal sum before the divide (repo convention, cf.
+            # ts_mse_spectral): Spark's partial-agg order vs DuckDB's
+            # sequential sum can differ at ulp level on raw doubles
+            _r6(
+                F.sum(F.col("value").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
         )
     )
 
 
-SQL_TS_SEGMENT_SESSIONS = """
+SQL_TS_SEGMENT_SESSIONS = f"""
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
          -- epoch_us // 1e6 floors like Spark's cast(ts AS long); a plain
@@ -2836,7 +2842,8 @@ labeled AS (
 )
 SELECT user_id, seg_id, min(ts) AS seg_start, max(ts) AS seg_end,
        count(*) AS n_events,
-       CAST(round(avg(value), 6) AS DOUBLE) AS avg_value
+       CAST(round(CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) / count(*), 6)
+            AS DOUBLE) AS avg_value
 FROM labeled GROUP BY 1, 2
 """
 
@@ -2856,9 +2863,14 @@ def ts_label_patterns(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     hourly = e.groupBy(
         F.col("event_type").alias("label"), F.hour("ts").alias("slot")
-    ).agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n_obs"))
+    ).agg(
+        # exact-decimal partial sums (repo convention): the raw-double
+        # sum is sensitive to Spark's partial-agg combine order
+        F.sum(F.col("value").cast(_DEC)).alias("sv"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
     w = Window.partitionBy("label").orderBy("slot").rowsBetween(-1, 1)
-    raw = F.col("sv") / F.col("n_obs")
+    raw = F.col("sv").cast("double") / F.col("n_obs")
     return hourly.select(
         "label",
         "slot",
@@ -2868,10 +2880,10 @@ def ts_label_patterns(spark, sf_dir):
     )
 
 
-SQL_TS_LABEL_PATTERNS = """
+SQL_TS_LABEL_PATTERNS = f"""
 WITH hourly AS (
   SELECT event_type AS label, hour(ts) AS slot,
-         sum(value) AS sv, count(*) AS n_obs
+         CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) AS sv, count(*) AS n_obs
   FROM events GROUP BY 1, 2
 )
 SELECT label, slot, n_obs,
