@@ -64,7 +64,6 @@ _PRIORITY: list[str] = [
     "api_classify_probs",
     # temporal reduce / regularize / smooth core
     "ts_reduce_stats",
-    "ts_reduce_fslope",
     "ts_regularize_first",
     "ts_grid_gapfill_day",
     "ts_acq_summary_hour",
@@ -105,7 +104,13 @@ _PRIORITY: list[str] = [
     "emb_ann_lsh_topk",
     "emb_mixture_nnls_k3",
     "emb_smote_minority",
+    "emb_cluster_dendro",
     "emb_som_quality",
+    # past the 50-entry verified window from here (selfcheck-covered):
+    # ts_reduce_fslope ceded its slot to emb_cluster_dendro — the reduce
+    # family keeps two driver-green rows (ts_reduce_stats,
+    # api_reduce_moments) and fslope stays selfcheck-verified
+    "ts_reduce_fslope",
     "emb_knn_cosine",
 ]
 
@@ -136,6 +141,13 @@ def oracle_sql() -> dict[str, str]:
     except OSError:
         pass
     out = {name: sql for name, (_builder, sql) in REGISTRY.items()}
-    out.update({name: sql for name, (_builder, sql) in FACADE_REGISTRY.items()})
+    out.update(
+        {
+            name: sql
+            for name, (_builder, sql) in FACADE_REGISTRY.items()
+            # None = rows-only entry (no SQL-expressible oracle)
+            if sql is not None
+        }
+    )
     out.update(TRANSCRIPT_ORACLES)
     return _reorder(out)

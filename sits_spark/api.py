@@ -48,6 +48,7 @@ __all__ = [
     "reduce",
     "merge",
     "smooth",
+    "variance",
     "softmax",
     "label_classification",
     "uncertainty",
@@ -299,6 +300,43 @@ def smooth(
 
     clustered = df.repartition(n_parts, key).sortWithinPartitions(key, *order_cols)
     return clustered.mapInArrow(_iter, out_schema_spark)
+
+
+def variance(
+    df: DataFrame,
+    key: str = "conv_id",
+    order_by: str | Sequence[str] = "ts",
+    value: str = "value",
+    window: int = 2,
+    out: str = "variance",
+    exact: bool = False,
+) -> DataFrame:
+    """sits_variance (/root/reference/R/sits_variance.R): the local
+    neighborhood variance of a value series — the diagnostic the
+    reference exposes so users can pick ``smoothness`` for bayes
+    smoothing (its spatial w x w window becomes the temporal +-window
+    frame here, the same frame ``smooth(method='bayes')`` weights by).
+    Pure Catalyst window expressions.
+
+    ``exact=True`` computes sample variance from exact decimal(18,4)
+    sums — (n*sum(x^2) - sum(x)^2) / (n*(n-1)) — so the result is
+    reproducible bit-for-bit across engines and shuffle orders (the
+    repo's exact-decimal convention); default uses the built-in
+    ``var_samp`` (Welford, JVM-side)."""
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(key).orderBy(*order_cols).rowsBetween(-window, window)
+    if not exact:
+        return df.withColumn(out, F.var_samp(value).over(w))
+    xd = F.col(value).cast("decimal(18,4)")
+    n = F.count(value).over(w)
+    s1 = F.sum(xd).over(w)
+    s2 = F.sum(xd * xd).over(w)
+    var = (
+        (n.cast("decimal(38,8)") * s2 - s1 * s1)
+        .cast("double")
+        / (n * (n - 1)).cast("double")
+    )
+    return df.withColumn(out, F.when(n > 1, var))
 
 
 # ------------------------------------------------------- classification

@@ -123,6 +123,41 @@ FROM (
 """
 
 
+def api_variance_window(spark, sf_dir):
+    """Facade variance verb (sits_variance, /root/reference/R/
+    sits_variance.R): exact-decimal local sample variance over the same
+    +-2 frame the bayes smoother weights by — (n*sum(x^2) - sum(x)^2) /
+    (n*(n-1)) from decimal(18,4) sums, so Spark and DuckDB agree
+    bit-for-bit."""
+    e = _events(spark, sf_dir)
+    v = api.variance(
+        e,
+        key="user_id",
+        order_by=["ts", "event_id"],
+        value="value",
+        window=2,
+        exact=True,
+    )
+    return v.select("event_id", "user_id", _r6("variance").alias("variance"))
+
+
+SQL_API_VARIANCE_WINDOW = f"""
+SELECT event_id, user_id,
+  CAST(round(CASE WHEN n > 1 THEN
+      CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)) END, 6) AS DOUBLE)
+    AS variance
+FROM (
+  SELECT event_id, user_id,
+         count(value) OVER w AS n,
+         sum(CAST(value AS {_DEC})) OVER w AS s1,
+         sum(CAST(value AS {_DEC}) * CAST(value AS {_DEC})) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+)
+"""
+
+
 def api_normalize_uncertainty(spark, sf_dir):
     """Facade normalize + softmax + label + margin-uncertainty per row:
     three synthetic logit bands from the value column, softmaxed and
@@ -362,6 +397,49 @@ FROM lm
 SQL_API_CLASSIFY_PROBS = _sql_classify()
 
 
+def api_rf_classify(spark, sf_dir):
+    """predictors -> RandomForestModel.fit -> classify: the reference's
+    DEFAULT model path (sits_rfor, /root/reference/R/
+    sits_machine_learning.R:45; applied via sits_classify,
+    R/api_classify.R:145-150). Same wide feature frame as
+    api_classify_probs; the label used for training is the linear
+    model's argmax (a deterministic function of the data), the forest is
+    seeded, and scoring runs JVM-side through the classify seam
+    (VectorAssembler -> forest -> vector_to_array — no Python).
+    Tree-ensemble probabilities are not SQL-replayable, so this row is
+    rows-only at the driver; exactness of the seam itself is pinned by
+    tests/test_ml.py."""
+    e = _events(spark, sf_dir)
+    feats = [f"f_{t}" for t in _CLS_TYPES]
+    wide = api.predictors(
+        e, ["user_id"], "event_type", "value", _CLS_TYPES, prefix="f_"
+    ).fillna(0.0, subset=feats)
+    lin = api.LinearSoftmaxModel(_CLS_CLASSES, _CLS_W, _CLS_B)
+    labeled = api.classify(wide, lin, feats, label_col="label").select(
+        "user_id", *feats, "label"
+    )
+    labeled.persist()
+    try:
+        rf = api.RandomForestModel.fit(
+            labeled, feats, "label", num_trees=25, max_depth=5, seed=42
+        )
+        scored = api.classify(labeled, rf, feats)
+    finally:
+        labeled.unpersist()
+    # stable schema across sf levels: the forest's class vocabulary is
+    # whatever labels the linear model produced on THIS data; emit a
+    # p_ column for every declared class, 0.0 where the class is absent
+    present = set(rf.classes)
+    return scored.select(
+        "user_id",
+        *[
+            (F.col(f"p_{c}") if c in present else F.lit(0.0)).alias(f"p_{c}")
+            for c in sorted(_CLS_CLASSES)
+        ],
+        "predicted",
+    )
+
+
 FACADE_REGISTRY: dict[str, tuple] = {
     "api_classify_probs": (api_classify_probs, SQL_API_CLASSIFY_PROBS),
     "api_accuracy_kappa": (api_accuracy_kappa, SQL_API_ACCURACY_KAPPA),
@@ -377,4 +455,8 @@ FACADE_REGISTRY: dict[str, tuple] = {
         api_normalize_uncertainty,
         SQL_API_NORMALIZE_UNCERTAINTY,
     ),
+    # past the driver's 50-entry window (selfcheck-verified)
+    "api_variance_window": (api_variance_window, SQL_API_VARIANCE_WINDOW),
+    # rows-only: tree-ensemble probabilities have no SQL oracle
+    "api_rf_classify": (api_rf_classify, None),
 }

@@ -2905,6 +2905,176 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# E9. hierarchical-clustering sample QA, oracle-checkable variant (round-5)
+# ---------------------------------------------------------------------------
+
+_CLU_NSEED = 12
+_CLU_K = 4
+
+
+def _clu_seeds() -> list[list[int]]:
+    """Deterministic literal seed vectors (+-256 corner points in vq
+    units = +-0.25 embedding units), LCG family offset from the ANN/SOM
+    planes. They stand in for the bounded driver-side sample that
+    ``ml.cluster_dendro`` draws; here they are literals so BOTH engines
+    can assign against them."""
+    return [[int(256 * v) for v in _plane(200 + j)] for j in range(_CLU_NSEED)]
+
+
+def _clu_labels() -> list[int]:
+    """Cluster label of each seed: the REAL ml.linkage_matrix/cut_tree
+    (ward) over the seed matrix, run once at import on a 12-row input —
+    the dendrogram recurrence itself is pytest-verified
+    (tests/test_ml.py); this query oracle-checks the DISTRIBUTED half
+    (exact-integer 1-NN assignment + per-cluster QA aggregation)."""
+    import numpy as np
+
+    from .ml import cut_tree, linkage_matrix
+
+    S = np.asarray(_clu_seeds(), dtype=np.float64)
+    Z = linkage_matrix(S, linkage="ward")
+    return [int(x) for x in cut_tree(Z, len(S), k=_CLU_K)]
+
+
+def emb_cluster_dendro(spark, sf_dir):
+    """Dendrogram-cut sample QA over embeddings, integer-exact
+    (sits_cluster_dendro + sits_cluster_frequency + sits_cluster_clean,
+    /root/reference/R/sits_cluster.R:59,141,177). The dendrogram is cut
+    over the literal seed set at plan build (ml.linkage_matrix, ward);
+    every embedding row is then assigned to the cluster of its nearest
+    seed by EXACT int64 distance (vq = floor(v*1024+0.5); ties -> lower
+    seed index), and per-cluster QA is aggregated: member count, exact
+    summed squared distance, majority label (ties -> smaller label) and
+    purity — the quantities cluster_frequency/cluster_clean derive."""
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = _clu_seeds()
+    labels = _clu_labels()
+    sqq = [sum(s * s for s in sd) for sd in seeds]
+    vq = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT))"
+    )
+    zero = F.lit(0).cast("long")
+    base = e.select("vec_id", "label", vq.alias("vq")).withColumn(
+        "vqq",
+        F.aggregate(F.col("vq"), zero, lambda a, x: a + x * x),
+    )
+    d2 = F.array(
+        *[
+            (
+                F.col("vqq")
+                + F.lit(sqq[j]).cast("long")
+                - 2
+                * F.aggregate(
+                    F.zip_with(
+                        F.col("vq"),
+                        F.array(*[F.lit(s) for s in seeds[j]]),
+                        lambda x, y: x * y,
+                    ),
+                    zero,
+                    lambda a, x: a + x,
+                )
+            ).cast("long")
+            for j in range(_CLU_NSEED)
+        ]
+    )
+    scored = base.select("vec_id", "label", F.posexplode(d2).alias("j", "d2"))
+    wv = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("j"))
+    lbl_arr = F.array(*[F.lit(l) for l in labels])
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            lbl_arr[F.col("j")].alias("cluster"),
+            "d2",
+        )
+    )
+    counts = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    wmaj = Window.partitionBy("cluster").orderBy(F.desc("nl"), F.asc("label"))
+    maj = (
+        counts.withColumn("rn", F.row_number().over(wmaj))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("majority_label"),
+            F.col("nl").alias("n_maj"),
+        )
+    )
+    per = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("d2").alias("sum_d2")
+    )
+    return (
+        per.join(maj, "cluster")
+        .select(
+            "cluster",
+            "n_members",
+            "majority_label",
+            _r6(F.col("n_maj").cast("double") / F.col("n_members")).alias(
+                "purity"
+            ),
+            "sum_d2",
+        )
+        .orderBy("cluster")
+    )
+
+
+def _sql_cluster_dendro() -> str:
+    seeds = _clu_seeds()
+    labels = _clu_labels()
+    sqq = [sum(s * s for s in sd) for sd in seeds]
+    d_parts = " UNION ALL ".join(
+        f"SELECT vec_id, label, "
+        f"{labels[j]} AS cluster, {j} AS j, "
+        f"vqq + {sqq[j]} - 2 * CAST(list_dot_product(vq, "
+        f"[{', '.join(str(s) for s in seeds[j])}]) AS BIGINT) AS d2 "
+        "FROM bq"
+        for j in range(_CLU_NSEED)
+    )
+    return f"""
+WITH bq AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1024 + 0.5) AS BIGINT)) AS vq,
+         CAST(list_dot_product(
+           list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1024 + 0.5) AS BIGINT)),
+           list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1024 + 0.5) AS BIGINT))
+         ) AS BIGINT) AS vqq
+  FROM embeddings
+),
+d AS ({d_parts}),
+assigned AS (
+  SELECT vec_id, label, cluster, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, j ASC) AS rn FROM d
+  ) WHERE rn = 1
+),
+counts AS (SELECT cluster, label, count(*) AS nl FROM assigned GROUP BY 1, 2),
+maj AS (
+  SELECT cluster, label AS majority_label, nl AS n_maj FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY nl DESC, label ASC) AS rn FROM counts
+  ) WHERE rn = 1
+),
+per AS (
+  SELECT cluster, count(*) AS n_members, CAST(sum(d2) AS BIGINT) AS sum_d2
+  FROM assigned GROUP BY 1
+)
+SELECT cluster, n_members, majority_label,
+       CAST(round(CAST(n_maj AS DOUBLE) / n_members, 6) AS DOUBLE) AS purity,
+       sum_d2
+FROM per JOIN maj USING (cluster)
+ORDER BY cluster
+"""
+
+
+SQL_EMB_CLUSTER_DENDRO = _sql_cluster_dendro()
+
+REGISTRY.update(
+    {"emb_cluster_dendro": (emb_cluster_dendro, SQL_EMB_CLUSTER_DENDRO)}
+)
+
+
+# ---------------------------------------------------------------------------
 # F. flagship transcript-engine oracles in the MAIN registry (VERDICT r2 #1):
 #    the ev_* variants reference only driver-registered views on the SQL
 #    side, so no sandboxed-DuckDB / external-file filter can drop them.

@@ -395,3 +395,27 @@ def test_patterns_matches_numpy(spark):
             assert n == 4
             assert raw == pytest.approx(means.loc[s], rel=1e-9)
             assert smooth == pytest.approx(want_smooth, rel=1e-9)
+
+
+def test_variance_matches_numpy(spark):
+    """api.variance (sits_variance analog): +-window sample variance per
+    key, both the var_samp and the exact-decimal paths, vs numpy."""
+    import numpy as np
+
+    vals = [1.25, 3.5, 2.0, 7.75, 4.5, 0.25, 9.0]
+    rows = [("c1", i, v) for i, v in enumerate(vals)] + [("c2", 0, 5.0)]
+    df = spark.createDataFrame(rows, "conv_id string, ts int, value double")
+    for exact in (False, True):
+        out = {
+            (r.conv_id, r.ts): r.variance
+            for r in api.variance(
+                df, key="conv_id", order_by="ts", value="value",
+                window=2, exact=exact,
+            ).collect()
+        }
+        for i in range(len(vals)):
+            lo, hi = max(0, i - 2), min(len(vals), i + 3)
+            want = float(np.var(vals[lo:hi], ddof=1))
+            assert out[("c1", i)] == pytest.approx(want, rel=1e-12), (exact, i)
+        # single-row series: sample variance undefined -> NULL both paths
+        assert out[("c2", 0)] is None
