@@ -366,25 +366,33 @@ below for transparency.
 Efficiency {pair832['eff']:.3f} vs the measured pure-CPU host ceiling
 ~0.66 at this pairing.
 
-## Per-stage 8 vs 32 split (measured once, `tools/stage_split.py`)
+## Per-stage 8 vs 32 split (`tools/stage_split.py`, round-5 instrumented)
 
-Warm-run stage metrics from the Spark UI REST API (UI-enabled session, so
-absolute walls sit slightly above the tuned numbers — proportions are the
-signal):
+Round 4's table reported the fused stage's "CPU" inflating 3.5x from 8
+to 32 cores. Round 5 split that number with host counters
+(/proc/vmstat + /proc/stat deltas over the measured run) and the REST
+API's `executorCpuTime` (on-CPU ns) next to `executorRunTime`
+(per-task wall). Representative clean-phase run:
 
-| stage | local[8] CPU-s | local[8] wall | local[32] CPU-s | local[32] wall | CPU inflation 8→32 |
-|---|---|---|---|---|---|
-| giant-extents pre-scan (conv_id, ts) | 8.0 | 1.2 s | 78.8 | 2.8 s | 9.9x |
-| scan + slot aggregation | 43.7 | 6.9 s | 73.7 | 2.7 s | 1.7x |
-| range-partition exchanges | 31.5 | 5.9 s | 54.5 | 2.4 s | 1.7x |
-| fused grid/smooth/rollup/pack + write (128 tasks) | 171.2 | 21.9 s | 593.2 | 19.2 s | 3.5x |
+| metric (fused stage) | local[8] | local[32] | ratio |
+|---|---|---|---|
+| task runTime sum (wall) | 251.1 s | 316.2 s | 1.26x |
+| task on-CPU sum (`executorCpuTime`) | **67.8 s** | **87.3 s** | **1.29x** |
+| stage wall | 32.2 s | 10.5 s | 3.06x speedup (0.77 stage eff) |
+| host `pgmajfault` during run | 0 | 0 | — |
+| host `cpu_steal_s` during run | 139.5 | 14.5 | — |
 
-The dominant kernel+write stage keeps ~31 of 32 cores busy to the end
-(the r2 whole-conversation straggler tail is gone — hot conversations
-now split into ~70 (conv, chunk) tasks); its per-task CPU time inflating
-3.5x at 32 cores — not idle cores or a serial fraction — is the 8→32
-limiter, consistent with the host calibration. On hardware without this
-pathology the same plan scales with its parallelism.
+Conclusions: (1) the engine's own on-CPU work inflates only ~1.3x at 32
+cores (memory-bandwidth residual); (2) the previously-reported 3.5x was
+runTime — its gap to on-CPU time is DESCHEDULED time, matching the
+directly-measured hypervisor steal (139 CPU-s stolen during an 8-core
+run = ~4.8 cores' worth); (3) page faults are not the mechanism
+(pgmajfault 0, minor faults ~100-275k at ~us each). The 8→32 limiter is
+host steal + bandwidth, not the plan — on hardware without this
+pathology the same plan scales with its parallelism. The giant-extents
+pre-scan (9.9x runTime inflation in r4, same steal mechanism) is now
+computed once per table into `stats_dir` and reused, as Iceberg table
+stats would be.
 
 ## Scale-holds check: 4x input, one local[32] pass (measured once)
 

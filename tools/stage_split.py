@@ -50,16 +50,38 @@ def run_level(cpus: int) -> None:
             ) as r:
                 return json.load(r)
 
+        def host_counters() -> dict:
+            """/proc/vmstat page faults + /proc/stat cpu jiffies: the
+            split that distinguishes 'more work' from 'kernel fault
+            service' from 'bandwidth-stalled user time'."""
+            vm = {}
+            with open("/proc/vmstat") as f:
+                for line in f:
+                    k, _, v = line.partition(" ")
+                    if k in ("pgfault", "pgmajfault"):
+                        vm[k] = int(v)
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            # user nice system idle iowait irq softirq steal ...
+            vm["cpu_user_s"] = (int(parts[1]) + int(parts[2])) / 100.0
+            vm["cpu_system_s"] = int(parts[3]) / 100.0
+            vm["cpu_steal_s"] = int(parts[8]) / 100.0 if len(parts) > 8 else 0.0
+            return vm
+
         wall = 0.0
+        host = {}
         for warm in (True, False):
             wh = tempfile.mkdtemp(prefix=f"ss_{cpus}_", dir="/dev/shm")
             if warm:
                 RollupPipeline(spark, wh).run(data, run_id="ss-w", resume=False)
                 warm_ids = {s["stageId"] for s in stages()}
             else:
+                h0 = host_counters()
                 t0 = time.time()
                 RollupPipeline(spark, wh).run(data, run_id="ss-m", resume=False)
                 wall = time.time() - t0
+                h1 = host_counters()
+                host = {k: round(h1[k] - h0[k], 2) for k in h0}
                 measured = [s for s in stages() if s["stageId"] not in warm_ids]
             shutil.rmtree(wh, ignore_errors=True)
 
@@ -72,10 +94,17 @@ def run_level(cpus: int) -> None:
                     "name": s["name"].split("\n")[0][:70],
                     "tasks": s["numCompleteTasks"],
                     "task_time_s": round(s["executorRunTime"] / 1000.0, 1),
+                    # on-CPU ns vs the wall-clock runTime above: the gap
+                    # is descheduled time (hypervisor steal / runqueue)
+                    "task_cpu_s": round(s.get("executorCpuTime", 0) / 1e9, 1),
                     "wall_s": round(comp - sub, 2) if sub and comp else None,
                 }
             )
-        print(json.dumps({"cpus": cpus, "wall": round(wall, 2), "stages": out}))
+        print(
+            json.dumps(
+                {"cpus": cpus, "wall": round(wall, 2), "host": host, "stages": out}
+            )
+        )
     finally:
         spark.stop()
 
