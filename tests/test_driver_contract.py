@@ -11,9 +11,12 @@ def test_contract_shapes():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     # every oracle has a query; rows-only queries are the 4 full tiers
+    # (floats/Gorilla blobs byte-matched in pytest instead) plus the
+    # random-forest row (tree ensembles are not SQL-replayable)
     assert set(o) <= set(q)
     rows_only = sorted(set(q) - set(o))
     assert rows_only == [
+        "api_rf_classify",
         "transcript_agg_1d",
         "transcript_agg_1h",
         "transcript_packed_1h",

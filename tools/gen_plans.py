@@ -24,6 +24,9 @@ CHECKS = {
     "ts_dtw_change": ["ArrowEvalPython", "Window"],
     "emb_mixture_nnls": [],
     "ts_bayts_change": ["Window"],
+    # round-5: seed distances are literal expressions over the scan (no
+    # join at all), aggregation partial; assignment is a window argmin
+    "emb_cluster_dendro": ["HashAggregate", "Window"],
 }
 
 _SKIP = {
