@@ -85,7 +85,6 @@ _PRIORITY: list[str] = [
     "ts_dtw_change",
     "ts_bayes_smooth",
     "ts_glcm_texture",
-    "ts_autocorr_lags",
     # segmentation + per-label patterns (round 4; ts_uncertainty_margin
     # and ts_reduce_skew_kurt ceded their window slots — their families
     # stay covered by ts_entropy_uncertainty / api_reduce_moments, and
@@ -97,6 +96,7 @@ _PRIORITY: list[str] = [
     "join_missing_anti",
     # LLM-data-pipeline: dedup / text / embeddings
     "doc_dedup_exact",
+    "doc_dedup_groups",
     "doc_minhash_lsh",
     "doc_ngram_jaccard",
     "doc_simhash",
@@ -107,10 +107,12 @@ _PRIORITY: list[str] = [
     "emb_cluster_dendro",
     "emb_som_quality",
     # past the 50-entry verified window from here (selfcheck-covered):
-    # ts_reduce_fslope ceded its slot to emb_cluster_dendro — the reduce
-    # family keeps two driver-green rows (ts_reduce_stats,
-    # api_reduce_moments) and fslope stays selfcheck-verified
+    # ts_reduce_fslope ceded its slot to emb_cluster_dendro and
+    # ts_autocorr_lags to doc_dedup_groups — both families keep multiple
+    # driver-green rows (ts_reduce_stats, api_reduce_moments,
+    # ts_mse_spectral) and the demoted rows stay selfcheck-verified
     "ts_reduce_fslope",
+    "ts_autocorr_lags",
     "emb_knn_cosine",
 ]
 

@@ -3075,6 +3075,98 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# E10. dedup GROUP assignment: connected components over LSH pairs (round-5)
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ROUNDS = 20
+
+
+def doc_dedup_groups(spark, sf_dir):
+    """Near-duplicate GROUP ids: transitive closure of the MinHash-LSH
+    candidate graph, each doc labeled with its component's minimum
+    doc_id plus the component size — the step that turns pairwise
+    near-dup hits into deduplicatable clusters (keep one per group).
+
+    Distributed algorithm: min-label propagation on the symmetrized
+    edge list — labels(v) <- min(labels(v), min over neighbors'
+    labels) — iterated to a driver-checked fixpoint (<= _CC_MAX_ROUNDS,
+    one cheap existence-check job per round; each round is one
+    shuffle-join + hash-agg over the BOUNDED candidate-pair table, and
+    lineage is truncated per round via localCheckpoint so the plan
+    stays flat). Rounds needed = graph diameter; near-dup components
+    are dense (bands admit cliques), so diameter stays small even at
+    100 TB — the standard large-scale CC pattern (cf. connected
+    components in GraphX / union-find-over-MapReduce literature).
+    Singleton docs keep their own id as group_id."""
+    pairs = doc_minhash_lsh(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("v"), F.col("doc_id").alias("lbl")
+    ).localCheckpoint()
+    try:
+        for _ in range(_CC_MAX_ROUNDS):
+            nbr = edges.join(
+                labels, edges["dst"] == labels["v"], "inner"
+            ).select(F.col("src").alias("v"), "lbl")
+            new_labels = (
+                labels.unionByName(nbr)
+                .groupBy("v")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .where(F.col("n.lbl") != F.col("o.lbl"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("group_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("v").alias("doc_id"),
+        F.col("lbl").alias("group_id"),
+        "group_size",
+    )
+
+
+SQL_DOC_DEDUP_GROUPS = f"""
+WITH RECURSIVE
+pairs AS ({SQL_DOC_MINHASH_LSH}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.v = e.t
+),
+lbl AS (SELECT v AS doc_id, min(r) AS group_id FROM reach GROUP BY v),
+sz AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size FROM lbl GROUP BY 1)
+SELECT doc_id, group_id, group_size FROM lbl JOIN sz USING (group_id)
+"""
+
+REGISTRY.update(
+    {"doc_dedup_groups": (doc_dedup_groups, SQL_DOC_DEDUP_GROUPS)}
+)
+
+
+# ---------------------------------------------------------------------------
 # F. flagship transcript-engine oracles in the MAIN registry (VERDICT r2 #1):
 #    the ev_* variants reference only driver-registered views on the SQL
 #    side, so no sandboxed-DuckDB / external-file filter can drop them.

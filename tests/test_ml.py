@@ -277,3 +277,37 @@ def test_tune_selects_best_grid_point(spark):
     # paired folds -> rerun reproduces exactly
     out2 = tune(df, 3, ["sid"], factory, grid, ["f1", "f2"], "label").toPandas()
     pd.testing.assert_frame_equal(out, out2)
+
+
+# --------------------------------------------- dedup group assignment
+
+
+def test_dedup_groups_closure_invariants(spark):
+    """doc_dedup_groups: transitive-closure semantics over the LSH
+    candidate graph — every candidate pair lands in the same group, the
+    group id is the member minimum, sizes are consistent, and docs with
+    no pairs are singletons."""
+    from sits_spark.queries import doc_dedup_groups, doc_minhash_lsh
+
+    sf = "/root/testdata/sf0.01"
+    groups = {
+        r.doc_id: (r.group_id, r.group_size)
+        for r in doc_dedup_groups(spark, sf).collect()
+    }
+    pairs = [(r.doc_a, r.doc_b) for r in doc_minhash_lsh(spark, sf).collect()]
+    assert pairs, "fixture should produce candidate pairs"
+    for a, b in pairs:
+        assert groups[a][0] == groups[b][0], (a, b)
+    # group id = min member; size = member count
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for d, (g, _s) in groups.items():
+        members[g].append(d)
+    for g, ms in members.items():
+        assert g == min(ms)
+        for d in ms:
+            assert groups[d][1] == len(ms)
+    # at least one non-trivial group and at least one singleton
+    sizes = sorted(len(m) for m in members.values())
+    assert sizes[0] == 1 and sizes[-1] > 1
