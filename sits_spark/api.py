@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from .batching import arrow_conv_batches, conv_bounds, record_batch
 from .kernels import smooth_sg_mtx, smooth_whit_mtx
 from .ml import (  # noqa: F401 — re-exported verbs
+    MLPModel,
     RandomForestModel,
     cluster_clean,
     cluster_dendro,
@@ -52,6 +53,8 @@ __all__ = [
     "softmax",
     "label_classification",
     "uncertainty",
+    "uncertainty_sampling",
+    "confidence_sampling",
     "normalize",
     "accuracy",
     "clean",
@@ -61,6 +64,7 @@ __all__ = [
     "classify",
     "LinearSoftmaxModel",
     "RandomForestModel",
+    "MLPModel",
     "tune",
     "cluster_dendro",
     "cluster_frequency",
@@ -389,6 +393,94 @@ def uncertainty(
     else:
         raise ValueError(f"method must be entropy|margin|least, got {method!r}")
     return df.withColumn(out, expr)
+
+
+def uncertainty_sampling(
+    df: DataFrame,
+    key: str,
+    order_by: str | Sequence[str],
+    uncert_col: str,
+    n: int = 100,
+    min_uncert: float = 0.4,
+    window: int = 10,
+) -> DataFrame:
+    """sits_uncertainty_sampling (/root/reference/R/sits_uncertainty.R:254,
+    src C_max_sampling): active-learning pick of the rows most worth
+    labeling — non-maximum suppression (keep only rows whose uncertainty
+    is the maximum within the +-``window`` frame of their own series;
+    the reference's spatial window becomes the temporal frame), then
+    ``min_uncert`` threshold, then global top-``n``. The reference
+    shuffles before slice_max; ties here break by (key, order) instead
+    so the selection replays exactly. Top-n is orderBy+limit
+    (TakeOrdered — no single-partition window at scale)."""
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(-window, window)
+    )
+    cand = df.withColumn("_wmax", F.max(uncert_col).over(w)).where(
+        (F.col(uncert_col) == F.col("_wmax"))
+        & (F.col(uncert_col) >= min_uncert)
+    )
+    return (
+        cand.drop("_wmax")
+        .orderBy(F.desc(uncert_col), F.asc(key), *[F.asc(c) for c in order_cols])
+        .limit(n)
+    )
+
+
+def confidence_sampling(
+    df: DataFrame,
+    key: str,
+    order_by: str | Sequence[str],
+    prob_cols: Sequence[str],
+    n_per_class: int = 20,
+    min_margin: float = 0.5,
+    window: int = 10,
+) -> DataFrame:
+    """sits_confidence_sampling (/root/reference/R/
+    sits_sample_functions.R:119): per class, the most CONFIDENT rows —
+    argmax class, margin (p1 - p2) >= ``min_margin``, top-probability
+    locally maximal within the +-``window`` frame of the series, then
+    top-``n_per_class`` per class (a per-class window rank — partitions
+    bounded by the label vocabulary). Adds ``sampled_label`` and
+    ``sampled_margin``."""
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    ps = [F.col(c) for c in prob_cols]
+    arr = F.array_sort(F.array(*ps))
+    k = len(prob_cols)
+    p1 = arr[k - 1]
+    margin = p1 - arr[k - 2]
+    # argmax label, first class wins ties (which.max)
+    lbl = F.lit(prob_cols[0])
+    best = ps[0]
+    for c in prob_cols[1:]:
+        lbl = F.when(F.col(c) > best, F.lit(c)).otherwise(lbl)
+        best = F.greatest(best, F.col(c))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(-window, window)
+    )
+    cand = (
+        df.withColumn("_p1", p1)
+        .withColumn("sampled_margin", margin)
+        .withColumn("sampled_label", lbl)
+        .withColumn("_wmax", F.max("_p1").over(w))
+        .where(
+            (F.col("_p1") == F.col("_wmax"))
+            & (F.col("sampled_margin") >= min_margin)
+        )
+    )
+    rank_w = Window.partitionBy("sampled_label").orderBy(
+        F.desc("_p1"), F.asc(key), *[F.asc(c) for c in order_cols]
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(rank_w))
+        .where(F.col("_rn") <= n_per_class)
+        .drop("_p1", "_wmax", "_rn")
+    )
 
 
 def normalize(

@@ -158,6 +158,35 @@ FROM (
 """
 
 
+def api_uncertainty_sampling(spark, sf_dir):
+    """Facade active-learning pick (sits_uncertainty_sampling,
+    /root/reference/R/sits_uncertainty.R:254): pseudo-uncertainty =
+    fractional part of value (exact in binary for the 2-decimal data),
+    non-maximum suppression over the +-5 frame per user series,
+    threshold 0.5, deterministic global top-40."""
+    e = _events(spark, sf_dir)
+    u = e.withColumn("u", F.col("value") - F.floor(F.col("value")))
+    out = api.uncertainty_sampling(
+        u, "user_id", ["ts", "event_id"], "u",
+        n=40, min_uncert=0.5, window=5,
+    )
+    return out.select("event_id", "user_id", F.col("u").alias("uncert"))
+
+
+SQL_API_UNCERTAINTY_SAMPLING = """
+SELECT event_id, user_id, u AS uncert
+FROM (
+  SELECT event_id, user_id, ts, u,
+         max(u) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS wmax
+  FROM (SELECT event_id, user_id, ts, value - floor(value) AS u FROM events)
+)
+WHERE u = wmax AND u >= 0.5
+ORDER BY u DESC, user_id ASC, ts ASC, event_id ASC
+LIMIT 40
+"""
+
+
 def api_normalize_uncertainty(spark, sf_dir):
     """Facade normalize + softmax + label + margin-uncertainty per row:
     three synthetic logit bands from the value column, softmaxed and
@@ -457,6 +486,10 @@ FACADE_REGISTRY: dict[str, tuple] = {
     ),
     # past the driver's 50-entry window (selfcheck-verified)
     "api_variance_window": (api_variance_window, SQL_API_VARIANCE_WINDOW),
+    "api_uncertainty_sampling": (
+        api_uncertainty_sampling,
+        SQL_API_UNCERTAINTY_SAMPLING,
+    ),
     # rows-only: tree-ensemble probabilities have no SQL oracle
     "api_rf_classify": (api_rf_classify, None),
 }

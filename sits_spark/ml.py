@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "RandomForestModel",
+    "MLPModel",
     "tune",
     "linkage_matrix",
     "cut_tree",
@@ -136,6 +137,117 @@ class RandomForestModel:
             ]
             out_cols.append(lbl.alias(label_col))
         return scored.select(*out_cols)
+
+
+class MLPModel:
+    """Multi-layer perceptron through the classify seam (``sits_mlp``,
+    /root/reference/R/sits_mlp.R — the reference trains a torch MLP
+    single-node on the samples tibble; torch is absent here, so this is
+    a from-scratch numpy MLP with the same deployment shape): ReLU
+    hidden layers + softmax output, full-batch Adam with L2, features
+    standardized by training stats, deterministic seeded init. ``fit``
+    runs driver-side on the (sample-sized) predictors frame exactly
+    like the reference; scoring is distributed via ``api.classify``'s
+    Arrow path (the ``classes``/``predict_proba`` protocol)."""
+
+    def __init__(self, classes, feature_cols, params, mu, sd):
+        self.classes = list(classes)
+        self.feature_cols = list(feature_cols)
+        self._params = params  # [(W, b), ...] per layer
+        self._mu = mu
+        self._sd = sd
+
+    @classmethod
+    def fit(
+        cls,
+        df: "DataFrame | pd.DataFrame",
+        feature_cols: Sequence[str],
+        label_col: str,
+        layers: Sequence[int] = (32,),
+        epochs: int = 300,
+        lr: float = 0.01,
+        l2: float = 1e-4,
+        seed: int = 42,
+        sample_cap: int = 100_000,
+    ) -> "MLPModel":
+        if isinstance(df, DataFrame):
+            n_rows = df.count()
+            if n_rows > sample_cap:
+                raise ValueError(
+                    f"MLPModel.fit trains driver-side; frame has {n_rows}"
+                    f" rows > sample_cap={sample_cap}. Sample first or"
+                    " raise sample_cap explicitly."
+                )
+            pdf = df.select(*feature_cols, label_col).toPandas()
+        else:
+            pdf = df
+        feature_cols = list(feature_cols)
+        classes = sorted(pdf[label_col].astype(str).unique())
+        cidx = {c: i for i, c in enumerate(classes)}
+        X = pdf[feature_cols].to_numpy(dtype=np.float64)
+        y = np.array([cidx[str(v)] for v in pdf[label_col]])
+        mu = X.mean(axis=0)
+        sd = np.maximum(X.std(axis=0), 1e-9)
+        Xs = (X - mu) / sd
+        rng = np.random.default_rng(seed)
+        dims = [len(feature_cols), *layers, len(classes)]
+        params = [
+            (
+                rng.normal(0.0, np.sqrt(2.0 / dims[i]), (dims[i], dims[i + 1])),
+                np.zeros(dims[i + 1]),
+            )
+            for i in range(len(dims) - 1)
+        ]
+        Y = np.zeros((len(y), len(classes)))
+        Y[np.arange(len(y)), y] = 1.0
+        # full-batch Adam (deterministic: no minibatch shuffling)
+        m_t = [(np.zeros_like(W), np.zeros_like(b)) for W, b in params]
+        v_t = [(np.zeros_like(W), np.zeros_like(b)) for W, b in params]
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        n = len(Xs)
+        for t in range(1, epochs + 1):
+            acts = [Xs]
+            for li, (W, b) in enumerate(params):
+                z = acts[-1] @ W + b
+                acts.append(np.maximum(z, 0.0) if li < len(params) - 1 else z)
+            logits = acts[-1]
+            mx = logits.max(axis=1, keepdims=True)
+            e = np.exp(logits - mx)
+            probs = e / e.sum(axis=1, keepdims=True)
+            delta = (probs - Y) / n
+            grads = []
+            for li in range(len(params) - 1, -1, -1):
+                W, _b = params[li]
+                gW = acts[li].T @ delta + l2 * W
+                gb = delta.sum(axis=0)
+                grads.append((gW, gb))
+                if li > 0:
+                    delta = (delta @ W.T) * (acts[li] > 0)
+            grads.reverse()
+            for li, ((gW, gb), (W, b)) in enumerate(zip(grads, params)):
+                mW, mb = m_t[li]
+                vW, vb = v_t[li]
+                mW = b1 * mW + (1 - b1) * gW
+                mb = b1 * mb + (1 - b1) * gb
+                vW = b2 * vW + (1 - b2) * gW**2
+                vb = b2 * vb + (1 - b2) * gb**2
+                m_t[li], v_t[li] = (mW, mb), (vW, vb)
+                mhW, mhb = mW / (1 - b1**t), mb / (1 - b1**t)
+                vhW, vhb = vW / (1 - b2**t), vb / (1 - b2**t)
+                params[li] = (
+                    W - lr * mhW / (np.sqrt(vhW) + eps),
+                    b - lr * mhb / (np.sqrt(vhb) + eps),
+                )
+        return cls(classes, feature_cols, params, mu, sd)
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        a = (np.asarray(X, dtype=np.float64) - self._mu) / self._sd
+        for li, (W, b) in enumerate(self._params):
+            z = a @ W + b
+            a = np.maximum(z, 0.0) if li < len(self._params) - 1 else z
+        mx = a.max(axis=1, keepdims=True)
+        e = np.exp(a - mx)
+        return e / e.sum(axis=1, keepdims=True)
 
 
 # -------------------------------------------------------------- tuning

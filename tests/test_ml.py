@@ -311,3 +311,96 @@ def test_dedup_groups_closure_invariants(spark):
     # at least one non-trivial group and at least one singleton
     sizes = sorted(len(m) for m in members.values())
     assert sizes[0] == 1 and sizes[-1] > 1
+
+
+# ------------------------------------------------------------------ MLP
+
+
+def _circle_data(spark, n=300):
+    """Radially-separable labels — a linear model cannot fit this."""
+    pts = _lcg_points(n, 2, seed=31)  # in [-5, 5]^2
+    rows = [
+        (i, float(p[0]), float(p[1]),
+         "in" if p[0] * p[0] + p[1] * p[1] < 8.0 else "out")
+        for i, p in enumerate(pts)
+    ]
+    return spark.createDataFrame(rows, "sid int, f1 double, f2 double, label string")
+
+
+def test_mlp_beats_linear_on_radial_boundary(spark):
+    from sits_spark.ml import MLPModel
+
+    df = _circle_data(spark)
+    mlp = MLPModel.fit(df, ["f1", "f2"], "label", layers=(24,), epochs=400, seed=9)
+    assert mlp.classes == ["in", "out"]
+    scored = api.classify(df, mlp, ["f1", "f2"]).toPandas()
+    acc = (scored["predicted"] == scored["label"]).mean()
+    assert acc > 0.95, acc
+    # the linear fixture cannot exceed the majority-class rate by much
+    import numpy as np
+
+    lin = api.LinearSoftmaxModel(["in", "out"], [[0.3, -0.2], [-0.1, 0.4]], [0.0, 0.0])
+    lin_scored = api.classify(df, lin, ["f1", "f2"]).toPandas()
+    lin_acc = (lin_scored["predicted"] == lin_scored["label"]).mean()
+    assert acc > lin_acc + 0.15
+    # deterministic refit
+    mlp2 = MLPModel.fit(df, ["f1", "f2"], "label", layers=(24,), epochs=400, seed=9)
+    np.testing.assert_array_equal(
+        mlp.predict_proba(np.array([[1.0, 2.0], [-3.0, 0.5]])),
+        mlp2.predict_proba(np.array([[1.0, 2.0], [-3.0, 0.5]])),
+    )
+
+
+def test_mlp_sample_cap(spark):
+    from sits_spark.ml import MLPModel
+
+    df = _circle_data(spark, n=50)
+    with pytest.raises(ValueError, match="sample_cap"):
+        MLPModel.fit(df, ["f1", "f2"], "label", sample_cap=10)
+
+
+# ------------------------------------------------- active-learning picks
+
+
+def test_uncertainty_sampling_nms_and_topn(spark):
+    """Window-local maxima only, threshold applied, top-n deterministic."""
+    rows = []
+    series = {
+        "a": [0.1, 0.9, 0.2, 0.3, 0.85, 0.1],  # two local peaks
+        "b": [0.5, 0.95, 0.5, 0.2, 0.2, 0.2],  # one peak
+        "c": [0.3, 0.35, 0.3, 0.3, 0.3, 0.3],  # below threshold
+    }
+    for k, vals in series.items():
+        rows += [(k, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "conv_id string, ts int, uncert double")
+    got = api.uncertainty_sampling(
+        df, "conv_id", "ts", "uncert", n=2, min_uncert=0.4, window=2
+    ).collect()
+    picked = [(r.conv_id, r.ts, r.uncert) for r in got]
+    # top-2 by uncertainty: b@1 (0.95) then a@1 (0.9); a@4 excluded by n
+    assert picked == [("b", 1, 0.95), ("a", 1, 0.9)]
+    # widen n: a@4 is a local max within +-2 and above threshold
+    got3 = api.uncertainty_sampling(
+        df, "conv_id", "ts", "uncert", n=5, min_uncert=0.4, window=2
+    ).collect()
+    assert ("a", 4, 0.85) in [(r.conv_id, r.ts, r.uncert) for r in got3]
+    # series c never appears (below min_uncert)
+    assert all(r.conv_id != "c" for r in got3)
+
+
+def test_confidence_sampling_per_class(spark):
+    rows = [
+        # conv, ts, p_x, p_y  (margin = |p_x - p_y| here)
+        ("a", 0, 0.9, 0.1),   # confident x, local max
+        ("a", 1, 0.8, 0.2),   # suppressed by a@0 within window
+        ("a", 2, 0.2, 0.8),   # confident y
+        ("b", 0, 0.55, 0.45), # margin 0.1 < 0.5 -> excluded
+        ("b", 1, 0.05, 0.95), # confident y, best
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts int, p_x double, p_y double")
+    got = api.confidence_sampling(
+        df, "conv_id", "ts", ["p_x", "p_y"], n_per_class=1, min_margin=0.5, window=3
+    ).collect()
+    by_label = {r.sampled_label: (r.conv_id, r.ts) for r in got}
+    assert by_label == {"p_x": ("a", 0), "p_y": ("b", 1)}
+    assert all(r.sampled_margin >= 0.5 for r in got)
