@@ -28,14 +28,21 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from .manifest import bucket_expr
 
 
-def observed_slots_stream(
-    stream: DataFrame, watermark: str = "10 minutes"
-) -> DataFrame:
-    """Streaming variant of operators.regularize.observed_slots.
+_SLOT_MEASURES = (
+    "n_turns",
+    "tokens_user",
+    "tokens_assistant",
+    "tokens_tool",
+    "tool_calls",
+    "alen_sum",
+    "alen_n",
+)
 
-    Same exact-int measures; ``F.window(ts, "1 minute")`` is the
-    event-time tumbling window (half-open [start, end) — identical slot
-    semantics to the batch floor-to-minute)."""
+
+def _slots_agg_windowed(stream: DataFrame, watermark: str) -> DataFrame:
+    """The 1-minute windowed exact-int slot aggregation with the event-
+    time window column KEPT (``w``) so further event-time aggregations
+    can chain on it (Spark's multiple-stateful-operator support)."""
     text_len = F.coalesce(F.length("text").cast("long"), F.lit(0))
     tok = F.floor(text_len / 4).cast("long")
     is_role = lambda r: F.col("role") == r  # noqa: E731
@@ -53,16 +60,51 @@ def observed_slots_stream(
             F.sum(F.when(is_role("assistant"), text_len).otherwise(0)).alias("alen_sum"),
             F.sum(F.when(is_role("assistant"), 1).otherwise(0)).alias("alen_n"),
         )
+    )
+
+
+def observed_slots_stream(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming variant of operators.regularize.observed_slots.
+
+    Same exact-int measures; ``F.window(ts, "1 minute")`` is the
+    event-time tumbling window (half-open [start, end) — identical slot
+    semantics to the batch floor-to-minute)."""
+    return _slots_agg_windowed(stream, watermark).select(
+        "conv_id",
+        F.col("w.start").cast("long").alias("slot_s"),
+        *_SLOT_MEASURES,
+    )
+
+
+def rollup_1h_stream(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming continuous-aggregate CASCADE raw -> 1m -> 1h: two
+    chained event-time window aggregations in ONE streaming query
+    (Spark >= 3.5 multiple-stateful-operators; ``window_time`` carries
+    event time from the closed 1m window into the 1h tumbling window).
+    This is the streaming form of the batch tier cascade (§2.9 /
+    engine_core agg tiers): per (conv_id, hour) the exact-int measures
+    summed over observed minutes plus ``n_slots`` (count of observed 1m
+    slots — the quantity the batch cascade derives from the 1m tier).
+    Late data is handled once, at the first aggregation's watermark; the
+    1h window only emits when every 1m window inside it has closed."""
+    slots = _slots_agg_windowed(stream, watermark)
+    return (
+        slots.groupBy(
+            "conv_id", F.window(F.window_time("w"), "1 hour").alias("hw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            *[F.sum(m).alias(m) for m in _SLOT_MEASURES],
+        )
         .select(
             "conv_id",
-            F.col("w.start").cast("long").alias("slot_s"),
-            "n_turns",
-            "tokens_user",
-            "tokens_assistant",
-            "tokens_tool",
-            "tool_calls",
-            "alen_sum",
-            "alen_n",
+            F.col("hw.start").cast("long").alias("hour_s"),
+            "n_slots",
+            *_SLOT_MEASURES,
         )
     )
 

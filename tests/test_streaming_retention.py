@@ -197,3 +197,48 @@ def test_compaction_from_observed_equals_raw_pipeline(spark, input_path, tmp_pat
         for r in pq.read_table(f)["run_id"].to_pylist()
     }
     assert "compact-2" not in runs
+
+
+def test_stream_1h_cascade_equals_batch(spark, input_path, tmp_path_factory):
+    """The chained 1m -> 1h streaming aggregation (two stateful windowed
+    aggs in one query) must equal the batch re-aggregation of observed
+    slots for every hour the watermark closed."""
+    out = str(tmp_path_factory.mktemp("h_out"))
+    ckpt = str(tmp_path_factory.mktemp("h_ckpt"))
+    schema = spark.read.parquet(input_path).schema
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    hourly = streaming.rollup_1h_stream(stream, watermark="10 minutes")
+    q = (
+        hourly.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    slots = regularize.observed_slots(spark.read.parquet(input_path))
+    want = (
+        slots.groupBy(
+            "conv_id", (F.floor(F.col("slot_s") / 3600) * 3600).alias("hour_s")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            *[
+                F.sum(c).alias(c)
+                for c in (
+                    "n_turns", "tokens_user", "tokens_assistant",
+                    "tokens_tool", "tool_calls", "alen_sum", "alen_n",
+                )
+            ],
+        )
+    )
+    max_emitted = got.agg(F.max("hour_s")).collect()[0][0]
+    assert max_emitted is not None, "stream emitted no closed hours"
+    g = got.where(F.col("hour_s") <= max_emitted).orderBy("conv_id", "hour_s").toPandas()
+    w = want.where(F.col("hour_s") <= max_emitted).orderBy("conv_id", "hour_s").toPandas()
+    assert len(g) == len(w) and len(g) > 0
+    for c in w.columns:
+        assert np.array_equal(g[c].to_numpy(), w[c].to_numpy()), c
