@@ -55,6 +55,7 @@ __all__ = [
     "uncertainty",
     "uncertainty_sampling",
     "confidence_sampling",
+    "combine_predictions",
     "normalize",
     "accuracy",
     "clean",
@@ -481,6 +482,74 @@ def confidence_sampling(
         .where(F.col("_rn") <= n_per_class)
         .drop("_p1", "_wmax", "_rn")
     )
+
+
+def combine_predictions(
+    dfs: Sequence[DataFrame],
+    keys: Sequence[str],
+    prob_cols: Sequence[str],
+    type: str = "average",
+    weights: Sequence[float] | None = None,
+    uncert_col: str | None = None,
+) -> DataFrame:
+    """sits_combine_predictions (/root/reference/R/
+    sits_combine_predictions.R, src weighted_probs /
+    weighted_uncert_probs in RcppExports): ensemble-combine N
+    probability frames joined on ``keys``.
+
+    - ``average``: fixed ``weights`` (default 1/N; must sum to 1).
+    - ``uncertainty``: per-ROW weights proportional to the inverse of
+      each model's ``uncert_col`` — algebraically w_i = (1/u_i) /
+      sum_j (1/u_j), which is what the reference's chain of
+      normalize -> invert -> renormalize computes. NOTE deviation: the
+      reference's C++ loop indexes ``conf(i,0)`` where ``conf(i,c)`` is
+      clearly intended (every model would get model 0's weight); this
+      implements the intended per-model weight.
+
+    All N-way joins are equi-joins on ``keys`` (co-partitioned by the
+    join — no broadcast of model frames, whose size is data-sized)."""
+    if type not in ("average", "uncertainty"):
+        raise ValueError(f"type must be average|uncertainty, got {type!r}")
+    n = len(dfs)
+    if n < 2:
+        raise ValueError("need at least 2 prediction frames")
+    keys = list(keys)
+    if type == "average":
+        weights = list(weights) if weights is not None else [1.0 / n] * n
+        if len(weights) != n:
+            raise ValueError("weights length must match number of frames")
+        if abs(sum(weights) - 1.0) > 1e-9:
+            raise ValueError("weights must sum to 1")
+    else:
+        if uncert_col is None:
+            raise ValueError("type='uncertainty' needs uncert_col")
+
+    def tagged(df: DataFrame, i: int) -> DataFrame:
+        cols = [F.col(c) for c in keys] + [
+            F.col(c).alias(f"{c}_{i}") for c in prob_cols
+        ]
+        if type == "uncertainty":
+            cols.append(F.col(uncert_col).alias(f"_u_{i}"))
+        return df.select(*cols)
+
+    joined = tagged(dfs[0], 0)
+    for i in range(1, n):
+        joined = joined.join(tagged(dfs[i], i), keys)
+    if type == "uncertainty":
+        inv = [1.0 / F.col(f"_u_{i}") for i in range(n)]
+        denom = inv[0]
+        for iv in inv[1:]:
+            denom = denom + iv
+        wcols = [iv / denom for iv in inv]
+    else:
+        wcols = [F.lit(w) for w in weights]
+    out_cols = [F.col(c) for c in keys]
+    for c in prob_cols:
+        acc = wcols[0] * F.col(f"{c}_0")
+        for i in range(1, n):
+            acc = acc + wcols[i] * F.col(f"{c}_{i}")
+        out_cols.append(acc.alias(c))
+    return joined.select(*out_cols)
 
 
 def normalize(

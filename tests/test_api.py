@@ -419,3 +419,47 @@ def test_variance_matches_numpy(spark):
             assert out[("c1", i)] == pytest.approx(want, rel=1e-12), (exact, i)
         # single-row series: sample variance undefined -> NULL both paths
         assert out[("c2", 0)] is None
+
+
+def test_combine_predictions_average_and_uncertainty(spark):
+    """api.combine_predictions: fixed-weight average and per-row
+    inverse-uncertainty weighting (w_i = (1/u_i) / sum(1/u_j) — the
+    reference's normalize->invert->renormalize chain, with its
+    conf(i,0) indexing slip corrected to the intended conf(i,c))."""
+    a = spark.createDataFrame(
+        [(1, 0.8, 0.2, 0.1), (2, 0.6, 0.4, 0.5)],
+        "sid int, p_x double, p_y double, u double",
+    )
+    b = spark.createDataFrame(
+        [(1, 0.4, 0.6, 0.3), (2, 0.2, 0.8, 0.5)],
+        "sid int, p_x double, p_y double, u double",
+    )
+    avg = {
+        r.sid: (r.p_x, r.p_y)
+        for r in api.combine_predictions(
+            [a, b], ["sid"], ["p_x", "p_y"], type="average"
+        ).collect()
+    }
+    assert avg[1] == (pytest.approx(0.6), pytest.approx(0.4))
+    assert avg[2] == (pytest.approx(0.4), pytest.approx(0.6))
+    wavg = {
+        r.sid: (r.p_x, r.p_y)
+        for r in api.combine_predictions(
+            [a, b], ["sid"], ["p_x", "p_y"], type="average", weights=[0.75, 0.25]
+        ).collect()
+    }
+    assert wavg[1][0] == pytest.approx(0.75 * 0.8 + 0.25 * 0.4)
+    unc = {
+        r.sid: (r.p_x, r.p_y)
+        for r in api.combine_predictions(
+            [a, b], ["sid"], ["p_x", "p_y"], type="uncertainty", uncert_col="u"
+        ).collect()
+    }
+    # sid 1: w_a = (1/0.1)/(1/0.1 + 1/0.3) = 0.75
+    assert unc[1][0] == pytest.approx(0.75 * 0.8 + 0.25 * 0.4)
+    # sid 2: equal uncertainty -> plain average
+    assert unc[2][0] == pytest.approx(0.4)
+    with pytest.raises(ValueError, match="sum to 1"):
+        api.combine_predictions([a, b], ["sid"], ["p_x"], weights=[0.9, 0.2])
+    with pytest.raises(ValueError, match="uncert_col"):
+        api.combine_predictions([a, b], ["sid"], ["p_x"], type="uncertainty")
