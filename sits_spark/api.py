@@ -56,6 +56,7 @@ __all__ = [
     "uncertainty_sampling",
     "confidence_sampling",
     "combine_predictions",
+    "sampling_design",
     "normalize",
     "accuracy",
     "clean",
@@ -482,6 +483,76 @@ def confidence_sampling(
         .where(F.col("_rn") <= n_per_class)
         .drop("_p1", "_wmax", "_rn")
     )
+
+
+def sampling_design(
+    df: DataFrame,
+    label_col: str,
+    expected_ua: "float | Mapping[str, float]" = 0.75,
+    alloc_options: Sequence[int] = (100, 75, 50),
+    std_err: float = 0.01,
+    rare_class_prop: float = 0.1,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """sits_sampling_design (/root/reference/R/
+    sits_sample_functions.R:312): Cochran sample-size + per-class
+    allocation table for accuracy assessment. Per class: area share
+    ``prop`` (row count or ``weight_col`` sum), stratum standard
+    deviation ``std_dev = signif(sqrt(ua*(1-ua)), 3)``, overall
+    ``sample_size = round((sum(prop*std_dev)/std_err)^2)``; allocations:
+    ``equal`` (size/n_classes), one ``alloc_<k>`` per option (rare
+    classes — prop <= rare_class_prop — get the fixed k, the rest share
+    the remainder proportionally among non-rare area), and
+    ``alloc_prop`` (proportional). All Catalyst: the per-class table is
+    bounded by the label vocabulary, so the unpartitioned windows over
+    it are bounded too — only the initial count aggregates over data.
+    Deviation: R's round() is half-to-even; this uses Spark/DuckDB
+    half-up (documented, affects .5 boundaries only)."""
+    wexpr = F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    per = df.groupBy(F.col(label_col).alias("label")).agg(
+        wexpr.cast("double").alias("_area")
+    )
+    wall = Window.partitionBy()
+    if isinstance(expected_ua, Mapping):
+        ua = F.lit(None).cast("double")
+        for k, v in expected_ua.items():
+            ua = F.when(F.col("label") == k, float(v)).otherwise(ua)
+    else:
+        ua = F.lit(float(expected_ua))
+    prop = F.col("_area") / F.sum("_area").over(wall)
+    sd_raw = F.sqrt(ua * (1.0 - ua))
+    # signif(x, 3): round to 3 significant digits
+    scale = F.pow(F.lit(10.0), F.floor(F.log10(sd_raw)) - 2)
+    sd = F.round(sd_raw / scale) * scale
+    base = per.select(
+        "label",
+        prop.alias("prop"),
+        ua.alias("expected_ua"),
+        sd.alias("std_dev"),
+    )
+    size = F.round(
+        F.pow(F.sum(F.col("prop") * F.col("std_dev")).over(wall) / std_err, 2.0)
+    ).cast("long")
+    is_rare = F.col("prop") <= rare_class_prop
+    n_classes = F.count(F.lit(1)).over(wall)
+    n_rare = F.sum(is_rare.cast("long")).over(wall)
+    rare_prop_sum = F.sum(F.when(is_rare, F.col("prop")).otherwise(0.0)).over(wall)
+    cols = [
+        F.col("label"),
+        F.col("prop"),
+        F.col("expected_ua"),
+        F.col("std_dev"),
+        size.alias("sample_size"),
+        F.round(size / n_classes).cast("long").alias("equal"),
+    ]
+    for al in alloc_options:
+        remaining = size - F.lit(int(al)) * n_rare
+        choice = F.when(is_rare, F.lit(int(al)).cast("long")).otherwise(
+            F.round(F.col("prop") / (1.0 - rare_prop_sum) * remaining).cast("long")
+        )
+        cols.append(choice.alias(f"alloc_{al}"))
+    cols.append(F.round(F.col("prop") * size).cast("long").alias("alloc_prop"))
+    return base.select(*cols)
 
 
 def combine_predictions(

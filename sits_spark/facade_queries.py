@@ -187,6 +187,79 @@ LIMIT 40
 """
 
 
+_SD_UA = {"click": 0.9, "view": 0.75, "purchase": 0.7, "signup": 0.6, "error": 0.5}
+
+
+def api_sampling_design(spark, sf_dir):
+    """Facade Cochran sampling design (sits_sampling_design,
+    /root/reference/R/sits_sample_functions.R:312) over the events
+    table: classes = event_type, per-class expected user accuracy
+    literals, two allocation options + equal + proportional."""
+    e = _events(spark, sf_dir)
+    out = api.sampling_design(
+        e, "event_type", expected_ua=_SD_UA, alloc_options=(100, 50),
+        std_err=0.01, rare_class_prop=0.1,
+    )
+    return out.select(
+        F.col("label"),
+        _r6("prop").alias("prop"),
+        _r6("expected_ua").alias("expected_ua"),
+        _r6("std_dev").alias("std_dev"),
+        "sample_size",
+        "equal",
+        "alloc_100",
+        "alloc_50",
+        "alloc_prop",
+    )
+
+
+def _sql_sampling_design() -> str:
+    ua_case = "CASE " + " ".join(
+        f"WHEN label = '{k}' THEN {v}" for k, v in _SD_UA.items()
+    ) + " END"
+    return f"""
+WITH per AS (
+  SELECT event_type AS label, CAST(count(*) AS DOUBLE) AS area
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT label, area / sum(area) OVER () AS prop, {ua_case} AS ua FROM per
+),
+s AS (
+  SELECT label, prop, ua,
+         round(sqrt(ua * (1.0 - ua)) / pow(10.0, floor(log10(sqrt(ua * (1.0 - ua)))) - 2))
+           * pow(10.0, floor(log10(sqrt(ua * (1.0 - ua)))) - 2) AS sd
+  FROM b
+),
+t AS (
+  SELECT label, prop, ua, sd,
+         CAST(round(pow(sum(prop * sd) OVER () / 0.01, 2.0)) AS BIGINT) AS sample_size,
+         prop <= 0.1 AS is_rare,
+         count(*) OVER () AS n_classes,
+         CAST(sum(CASE WHEN prop <= 0.1 THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n_rare,
+         sum(CASE WHEN prop <= 0.1 THEN prop ELSE 0.0 END) OVER () AS rare_prop_sum
+  FROM s
+)
+SELECT label,
+       CAST(round(prop, 6) AS DOUBLE) AS prop,
+       CAST(round(ua, 6) AS DOUBLE) AS expected_ua,
+       CAST(round(sd, 6) AS DOUBLE) AS std_dev,
+       sample_size,
+       CAST(round(CAST(sample_size AS DOUBLE) / n_classes) AS BIGINT) AS equal,
+       CASE WHEN is_rare THEN 100
+            ELSE CAST(round(prop / (1.0 - rare_prop_sum) * (sample_size - 100 * n_rare)) AS BIGINT)
+       END AS alloc_100,
+       CASE WHEN is_rare THEN 50
+            ELSE CAST(round(prop / (1.0 - rare_prop_sum) * (sample_size - 50 * n_rare)) AS BIGINT)
+       END AS alloc_50,
+       CAST(round(prop * sample_size) AS BIGINT) AS alloc_prop
+FROM t
+"""
+
+
+SQL_API_SAMPLING_DESIGN = _sql_sampling_design()
+
+
 def api_normalize_uncertainty(spark, sf_dir):
     """Facade normalize + softmax + label + margin-uncertainty per row:
     three synthetic logit bands from the value column, softmaxed and
@@ -490,6 +563,7 @@ FACADE_REGISTRY: dict[str, tuple] = {
         api_uncertainty_sampling,
         SQL_API_UNCERTAINTY_SAMPLING,
     ),
+    "api_sampling_design": (api_sampling_design, SQL_API_SAMPLING_DESIGN),
     # rows-only: tree-ensemble probabilities have no SQL oracle
     "api_rf_classify": (api_rf_classify, None),
 }

@@ -463,3 +463,42 @@ def test_combine_predictions_average_and_uncertainty(spark):
         api.combine_predictions([a, b], ["sid"], ["p_x"], weights=[0.9, 0.2])
     with pytest.raises(ValueError, match="uncert_col"):
         api.combine_predictions([a, b], ["sid"], ["p_x"], type="uncertainty")
+
+
+def test_sampling_design_matches_reference_formulas(spark):
+    """api.sampling_design replicates sits_sampling_design's Cochran
+    math (R/sits_sample_functions.R:312) for a fixture with one rare
+    class, checked against a direct numpy replication."""
+    import numpy as np
+
+    counts = {"a": 700, "b": 250, "c": 50}  # c is rare at 5%
+    rows = [(lab, i) for lab, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "label string, i int")
+    ua = {"a": 0.95, "b": 0.75, "c": 0.6}
+    got = {
+        r.label: r.asDict()
+        for r in api.sampling_design(
+            df, "label", expected_ua=ua, alloc_options=(100, 50),
+            std_err=0.01, rare_class_prop=0.1,
+        ).collect()
+    }
+    total = sum(counts.values())
+    prop = {k: v / total for k, v in counts.items()}
+    sd = {k: float(np.round(np.sqrt(u * (1 - u)), 3)) for k, u in ua.items()}
+    # signif(x,3) == round(x,3) here because all sd are in [0.1, 1)
+    size = round(sum(prop[k] * sd[k] for k in counts) / 0.01) ** 2
+    size = round((sum(prop[k] * sd[k] for k in counts) / 0.01) ** 2)
+    for k in counts:
+        assert got[k]["prop"] == pytest.approx(prop[k])
+        assert got[k]["std_dev"] == pytest.approx(sd[k], abs=1e-12)
+        assert got[k]["sample_size"] == size
+        assert got[k]["equal"] == round(size / 3)
+        assert got[k]["alloc_prop"] == round(prop[k] * size)
+    # rare-class branch: c gets the fixed allocation
+    rare_sum = prop["c"]
+    for al in (100, 50):
+        assert got["c"][f"alloc_{al}"] == al
+        remaining = size - al  # one rare class
+        for k in ("a", "b"):
+            want = round(prop[k] / (1 - rare_sum) * remaining)
+            assert got[k][f"alloc_{al}"] == want, (k, al)
