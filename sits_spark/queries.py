@@ -33,6 +33,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Scale-adaptive compute spreading (guide §2.2, §2.5, §6).
+
+    The driver tables are single-row-group parquet files, and a parquet
+    row group is the minimum split unit — so every one of them scans as
+    ONE task regardless of ``maxPartitionBytes``, serializing all
+    pre-exchange per-row work (md5, shingling, dot products, decimal
+    partial aggregation) onto one core. When the scan has fewer
+    partitions than the cluster's parallelism, hash-repartition on
+    ``key`` so per-row compute uses the whole cluster; when the input
+    scans parallel already (the 100 TB case) this is a NO-OP — no extra
+    exchange. ``key`` is chosen as the caller's downstream grouping /
+    window key where possible, so the inserted exchange SATISFIES the
+    next operator's distribution requirement and replaces — not adds
+    to — the plan's exchange count. Hash partitioning (not round-robin)
+    keeps the row->partition map deterministic under task retry
+    (SPARK-38388) and skips round-robin's sort-before-repartition.
+    Results are unchanged: every caller's arithmetic is
+    partition-order-free (exact ints/decimals, min/max/percentile
+    selection, or per-row projections)."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    if key is None:
+        return df.repartition(p)
+    return df.repartition(p, F.col(key))
+
+
 def _r6(col):
     return F.round(col, 6)
 
@@ -50,17 +79,34 @@ def ts_reduce_stats(spark, sf_dir):
     as one grouped aggregation."""
     e = _t(spark, sf_dir, "events")
     v = F.col("value")
-    return e.groupBy("user_id").agg(
+    # round 6 (guide §1.2 per-task work): the three quantiles (and the
+    # IQR difference) share ONE percentile(value, array(...)) aggregate
+    # buffer instead of building three independent value-count maps per
+    # group. Spark evaluates the array form with the exact same
+    # interpolation as the scalar calls (median == percentile 0.5), so
+    # every output is bit-identical.
+    pct = F.percentile(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    agg = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         _r6(R.t_mean(v)).alias("v_mean"),
         R.t_min(v).alias("v_min"),
         R.t_max(v).alias("v_max"),
         _r6(R.t_amplitude(v)).alias("v_amplitude"),
-        _r6(R.t_median(v)).alias("v_median"),
         _r6(R.t_std(v)).alias("v_std"),
-        _r6(R.t_quantile(v, 0.25)).alias("v_fqr"),
-        _r6(R.t_quantile(v, 0.75)).alias("v_tqr"),
-        _r6(R.t_iqr(v)).alias("v_iqr"),
+        pct.alias("pct"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "v_mean",
+        "v_min",
+        "v_max",
+        "v_amplitude",
+        _r6(F.col("pct")[1]).alias("v_median"),
+        "v_std",
+        _r6(F.col("pct")[0]).alias("v_fqr"),
+        _r6(F.col("pct")[2]).alias("v_tqr"),
+        _r6(F.col("pct")[2] - F.col("pct")[0]).alias("v_iqr"),
     )
 
 
@@ -185,6 +231,13 @@ def ts_grid_gapfill_day(spark, sf_dir):
             F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1))
         ).alias("v_mean"),
     )
+    # round 6 note: a lead()+explode rewrite (grid rows generated
+    # directly from each present day, no join) was measured 2x SLOWER at
+    # 10x scale — sequence(ts, ts, INTERVAL) has per-CALL overhead that
+    # the original amortizes over one long span per user (1.5k calls x
+    # ~300 days) but the rewrite paid per daily row (445k calls x ~1
+    # day). Kept the join shape (guide §1.1: measure the "ideal" plan
+    # before believing it).
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -427,7 +480,7 @@ def ts_cascade_1h_1d(spark, sf_dir):
     """Tier cascade: daily aggregates re-composed from hourly partials
     (sums/counts compose exactly — our 1m->1h->1d retention design;
     oracle aggregates days directly, proving composition exactness)."""
-    e = _t(spark, sf_dir, "events")
+    e = _spread(_t(spark, sf_dir, "events"), "user_id")
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hour")
     ).agg(
@@ -506,12 +559,20 @@ def join_dim_rollup(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(F.col("c_custkey"), F.col("r_name"))
     )
-    j = e.join(dim, e.user_id == dim.c_custkey)
+    # round 6 (guide §2.3 "aggregate before you shuffle"): collapse the
+    # fact table to one exact-decimal partial per user BEFORE the join —
+    # the join and final rollup then move user-cardinality rows, not
+    # event-cardinality rows. c_custkey is unique, so per-user partials
+    # compose exactly (decimal sums are associative; count = sum of
+    # per-user counts) and the region totals are bit-identical.
+    ua = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(_DEC)).alias("sv"),
+    )
+    j = ua.join(dim, ua.user_id == dim.c_custkey)
     return j.groupBy("r_name").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        _r6(
-            F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1))
-        ).alias("avg_value"),
+        F.sum("n").alias("n_events"),
+        _r6(F.sum("sv").cast("double") / F.sum("n")).alias("avg_value"),
     )
 
 
@@ -636,17 +697,17 @@ def doc_dedup_exact(spark, sf_dir):
     """Exact dedup via content hash: every doc mapped to the smallest
     doc_id sharing its md5(text) (hash-groupBy dedup family)."""
     d = _t(spark, sf_dir, "documents")
-    h = d.select("doc_id", F.md5("text").alias("h"))
-    canon = h.groupBy("h").agg(
-        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_n")
-    )
-    return (
-        h.join(canon, "h")
-        .select(
-            "doc_id",
-            "canonical_id",
-            (F.col("group_n") > 1).alias("is_dup"),
-        )
+    h = _spread(d, "doc_id").select("doc_id", F.md5("text").alias("h"))
+    # round 6: group min/count as window aggregates over the hash
+    # partition — ONE scan and ONE exchange; the old groupBy + self-join
+    # re-scanned the table and re-computed md5 on the probe side, and its
+    # broadcast of the canonical table would not survive 100 TB. Same
+    # rows, same values (min/count over the same h-groups).
+    w = Window.partitionBy("h")
+    return h.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.count(F.lit(1)).over(w) > 1).alias("is_dup"),
     )
 
 
@@ -748,13 +809,22 @@ def doc_minhash_lsh(spark, sf_dir):
     over 3-gram SHINGLES (the brief's shingle->minhash->band->bucket-join
     pipeline): h(s) = int(md5(s)[:8], 16); k=16 permutations (a*h+b) mod
     p; 4 bands of 4 rows each; candidate pairs collide on >= 1 band (OR
-    across bands — the banding recall structure of the LSH scheme). The
-    pair join is keyed on (band_id, band_key), so only same-band
-    collisions meet. Shingling is load-bearing: this corpus has a
-    31-word vocabulary with 30 words in ~78% of docs, so WORD-set
-    signatures admitted 48-76% of all pairs (no pruning); 3-gram sets
-    discriminate."""
-    d = _t(spark, sf_dir, "documents")
+    across bands — the banding recall structure of the LSH scheme).
+    Shingling is load-bearing: this corpus has a 31-word vocabulary with
+    30 words in ~78% of docs, so WORD-set signatures admitted 48-76% of
+    all pairs (no pruning); 3-gram sets discriminate.
+
+    Physical shape (round-6 rewrite, guide §2.4): candidate pairs come
+    from ONE groupBy (band_id, key) with in-bucket pair generation —
+    the same bounded-bucket work the old band self-join did, minus the
+    broadcast build of a second full copy of the band table (the
+    signature pipeline stays the codegen'd explode + 16-way min hash
+    aggregate: an array-fold variant was measured 4x SLOWER because
+    higher-order lambdas run interpreted, guide §1.1 "a fresh
+    implementation of the ideal plan is usually slower at first").
+    Values are unchanged: same md5 hash, same (a*h+b) % p permutations,
+    same bands, same distinct pair set."""
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     h = _shingles(d).select(
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h"),
@@ -787,20 +857,19 @@ def doc_minhash_lsh(spark, sf_dir):
             )
         ).alias("bd"),
     ).select("doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.key").alias("key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    buckets = bands.groupBy("band_id", "key").agg(
+        F.collect_list("doc_id").alias("ids")
     )
+    pairs = buckets.where(F.size("ids") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids,"
+                "  x -> transform(filter(ids, y -> x < y),"
+                "    y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def _sql_minhash() -> str:
@@ -842,6 +911,12 @@ def doc_text_quality(spark, sf_dir):
     """Text quality scoring: token count, punctuation ratio, stopword
     ratio, composite quality score (training-data pipeline op)."""
     d = _t(spark, sf_dir, "documents")
+    # round 6 note: a staged-projection variant (tokenize once, compute
+    # ratios from named count columns) measured consistently ~15% SLOWER
+    # at 10x scale than this flat form — whole-stage codegen's
+    # subexpression elimination already de-duplicates the repeated
+    # split/regexp trees, and the extra projection nodes only added
+    # boundaries. Kept flat (guide §1.1: measure before believing).
     words = F.split(F.col("text"), r"\s+")
     n_tok = F.size(words)
     n_stop = F.size(F.expr(f"filter(split(text, '\\\\s+'), w -> w IN {_STOPWORDS})"))
@@ -937,16 +1012,31 @@ def _dot(a, b):
 
 def emb_knn_cosine(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline: queries = vec_id < 10,
-    k = 5; rank by (rounded sim desc, vec_id asc)."""
+    k = 5; rank by (rounded sim desc, vec_id asc).
+
+    Round-6 shape (guide §1.2 "per-task work"): each side's norm
+    sqrt(dot(v,v)) is computed ONCE per vector before the join instead
+    of once per (candidate, query) pair — the pair row evaluates one
+    sequential-fold dot instead of three (same expression on the same
+    values, so the arithmetic is bit-identical to the oracle's)."""
     e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    en = _spread(e, "vec_id").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    q = en.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = en.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
     j = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
-    sim = _dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
+    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = j.select("query_id", "neighbor_id", _r6(sim).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -1208,7 +1298,11 @@ def emb_ann_lsh_topk(spark, sf_dir):
     )
     # score in the join output, THEN dedup across bands: a duplicate
     # pair's cosine is identical, so min() collapses it — the dedup
-    # shuffle carries one scalar per pair instead of two 64-float vectors
+    # shuffle carries one scalar per pair instead of two 64-float vectors.
+    # Round-6 note: precomputing norms per band row (like emb_knn_cosine)
+    # measured ~30% SLOWER here — this join is so selective (10 query
+    # vectors) that per-PAIR norms are fewer evaluations than per-band-row
+    # norms; the knn cross join has the opposite cardinality.
     sim = _dot(F.col("qv"), F.col("cv")) / (
         F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
     )
@@ -1498,19 +1592,33 @@ def ts_bayts_change(spark, sf_dir):
     def phi(mu, sd):
         return F.exp(-((v - mu) ** 2) / (2.0 * sd * sd)) / (sd * F.sqrt(F.lit(2.0) * F.lit(3.141592653589793)))
 
-    p = phi(_BAYTS_MU_N, _BAYTS_SD_N) / (phi(_BAYTS_MU_N, _BAYTS_SD_N) + phi(_BAYTS_MU_F, _BAYTS_SD_F))
+    # round 6 (guide §1.2 + §2.3): stage the densities through named
+    # columns so each exp() is evaluated once per row (the inline form
+    # repeated phi_N inside p's numerator and denominator), and project
+    # llr_fp BEFORE the window so the sort shuffle carries
+    # (user_id, ts, event_id, llr_fp) instead of the raw value column.
+    # Same expressions on the same values — bit-identical.
+    dens = _spread(e, "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        phi(_BAYTS_MU_N, _BAYTS_SD_N).alias("pn"),
+        phi(_BAYTS_MU_F, _BAYTS_SD_F).alias("pf"),
+    )
+    p = F.col("pn") / (F.col("pn") + F.col("pf"))
     p = F.greatest(F.least(p, F.lit(_BAYTS_BWF_HI)), F.lit(_BAYTS_BWF_LO))
     p = F.round(p, 6)
     # half-away-from-zero rounding in BOTH engines (Spark HALF_UP on
     # doubles == DuckDB round); misaligned with the 6-dp grid above
     llr_fp = F.round(F.log(p / (F.lit(1.0) - p)) * 10_000, 0).cast("long")
+    llr = dens.select("user_id", "ts", "event_id", llr_fp.alias("llr_fp"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = F.sum(llr_fp).over(w)
-    flagged = e.select("user_id", "ts", cum.alias("cum_llr_fp")).where(
+    cum = F.sum("llr_fp").over(w)
+    flagged = llr.select("user_id", "ts", cum.alias("cum_llr_fp")).where(
         F.col("cum_llr_fp") >= int(_BAYTS_TAU * 10_000)
     )
     return flagged.groupBy("user_id").agg(
@@ -1614,17 +1722,23 @@ def doc_simhash(spark, sf_dir):
             )
         ).alias("bd"),
     ).select("doc_id", "bd.band_id", "bd.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # round 6: one groupBy (band_id, key) + in-bucket pair generation
+    # replaces the band self-join (which re-derived the whole
+    # shingle->md5->vote subtree for its second side) — same distinct
+    # pair set, one scan
+    buckets = bands.groupBy("band_id", "key").agg(
+        F.collect_list("doc_id").alias("ids")
     )
+    pairs = buckets.where(F.size("ids") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids,"
+                "  x -> transform(filter(ids, y -> x < y),"
+                "    y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def _sql_simhash() -> str:
