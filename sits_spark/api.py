@@ -328,7 +328,15 @@ def variance(
     sums — (n*sum(x^2) - sum(x)^2) / (n*(n-1)) — so the result is
     reproducible bit-for-bit across engines and shuffle orders (the
     repo's exact-decimal convention); default uses the built-in
-    ``var_samp`` (Welford, JVM-side)."""
+    ``var_samp`` (Welford, JVM-side).
+
+    EXACTNESS CONTRACT (ADVICE r5): s1 is decimal(28,4) after the window
+    sum, so s1*s1 (precision 57) exceeds decimal(38) and Spark truncates
+    the product to scale 6 under allowPrecisionLoss. The ``exact`` path
+    is therefore bit-exact only for inputs quantized to <= 3 fractional
+    decimal digits (the facade's data is 2 dp); inputs needing the full
+    4-dp scale can disagree with an oracle that falls back to double at
+    the round(., 6) boundary."""
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     w = Window.partitionBy(key).orderBy(*order_cols).rowsBetween(-window, window)
     if not exact:
@@ -607,7 +615,11 @@ def combine_predictions(
     for i in range(1, n):
         joined = joined.join(tagged(dfs[i], i), keys)
     if type == "uncertainty":
-        inv = [1.0 / F.col(f"_u_{i}") for i in range(n)]
+        # ADVICE r5: clamp to a floor — a model reporting u == 0 for a
+        # row would make 1/u infinite and every combined probability NaN
+        inv = [
+            1.0 / F.greatest(F.col(f"_u_{i}"), F.lit(1e-12)) for i in range(n)
+        ]
         denom = inv[0]
         for iv in inv[1:]:
             denom = denom + iv

@@ -3227,6 +3227,7 @@ def doc_dedup_groups(spark, sf_dir):
         F.col("doc_id").alias("v"), F.col("doc_id").alias("lbl")
     ).localCheckpoint()
     try:
+        changed = 0
         for _ in range(_CC_MAX_ROUNDS):
             nbr = edges.join(
                 labels, edges["dst"] == labels["v"], "inner"
@@ -3247,6 +3248,17 @@ def doc_dedup_groups(spark, sf_dir):
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # ADVICE r5: falling through with unconverged labels would
+            # silently return WRONG group ids (long chains can exceed the
+            # round budget at scale, and the transitive-closure oracle
+            # would diverge) — fail loudly instead of returning partials
+            raise RuntimeError(
+                f"doc_dedup_groups: min-label propagation did not reach a "
+                f"fixpoint within _CC_MAX_ROUNDS={_CC_MAX_ROUNDS} rounds "
+                f"(component diameter exceeds the budget); raise "
+                f"_CC_MAX_ROUNDS rather than using partial labels"
+            )
     finally:
         edges.unpersist()
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("group_size"))

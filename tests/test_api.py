@@ -486,7 +486,6 @@ def test_sampling_design_matches_reference_formulas(spark):
     prop = {k: v / total for k, v in counts.items()}
     sd = {k: float(np.round(np.sqrt(u * (1 - u)), 3)) for k, u in ua.items()}
     # signif(x,3) == round(x,3) here because all sd are in [0.1, 1)
-    size = round(sum(prop[k] * sd[k] for k in counts) / 0.01) ** 2
     size = round((sum(prop[k] * sd[k] for k in counts) / 0.01) ** 2)
     for k in counts:
         assert got[k]["prop"] == pytest.approx(prop[k])
