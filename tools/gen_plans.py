@@ -20,7 +20,9 @@ CHECKS = {
     "ts_grid_gapfill_day": ["Window"],
     "join_dim_rollup": ["BroadcastHashJoin"],
     "emb_ann_lsh_topk": ["BroadcastHashJoin"],
-    "doc_minhash_lsh": ["HashJoin", "HashAggregate"],
+    # round-6: the band self-join was replaced by ONE groupBy (band, key)
+    # with in-bucket pair generation — no join node at all, single scan
+    "doc_minhash_lsh": ["HashAggregate", "Generate"],
     "ts_dtw_change": ["ArrowEvalPython", "Window"],
     "emb_mixture_nnls": [],
     "ts_bayts_change": ["Window"],
