@@ -1317,25 +1317,33 @@ def detect_change_dtw(
     ``order_by`` order; per slice, the DTW distance to every pattern (a
     tiny dict shipped in the UDF closure — never joined); a change fires
     when the best distance is <= ``threshold``. One sort shuffle + one
-    hash agg + one Arrow-batched vectorized-DP UDF; incomplete trailing
-    windows are dropped (no partial-window semantics)."""
+    Arrow-batched vectorized-DP UDF; incomplete trailing windows are
+    dropped (no partial-window semantics).
+
+    Round 6 (guide §2.4): window rows are assembled with ``lead()`` over
+    the SAME sorted window that numbers the series — the old
+    groupBy(keys, win_id) + sort_array(collect_list(struct)) hash
+    aggregate re-collected and re-sorted what the window sort had
+    already ordered. lead(k) on the window-start row yields exactly the
+    old sorted value list ([v, lead 1..W-1] in order), and a NULL
+    lead(W-1) marks precisely the incomplete trailing slice the old
+    size() filter dropped — same windows, same values, one less
+    aggregate pass, no second exchange either way (win_id grouping
+    reused the window's partitioning)."""
     from . import kernels
 
     w = Window.partitionBy(*keys).orderBy(*order_by)
     rn = F.row_number().over(w) - 1
-    win = df.select(*keys, F.col(value).alias("_v"), rn.alias("_rn")).withColumn(
-        "win_id", F.floor(F.col("_rn") / window)
+    leads = [F.lead(value, k).over(w) for k in range(1, window)]
+    win = df.select(
+        *keys,
+        rn.alias("_rn"),
+        F.array(F.col(value), *leads).alias("vals"),
     )
-    arrs = (
-        win.groupBy(*keys, "win_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("_rn", "_v"))),
-                lambda x: x["_v"],
-            ).alias("vals")
-        )
-        .where(F.size("vals") == window)
-    )
+    arrs = win.where(
+        (F.col("_rn") % window == 0)
+        & ~F.exists("vals", lambda x: x.isNull())
+    ).select(*keys, F.floor(F.col("_rn") / window).alias("win_id"), "vals")
     names = sorted(patterns)
     pats = {k: np.asarray(patterns[k], dtype=np.float64) for k in names}
 
